@@ -1,0 +1,72 @@
+"""Running mean/std statistics as explicit carried state.
+
+The reference's ``Normalizer`` is a stateful ``nn.Module`` updated in-place
+per step (reference: omnisafe/common/normalizer.py:28-139).  Under jit the
+statistics must instead be *carried state* threaded through the rollout scan
+— a tiny pytree updated with the batched parallel-variance (Chan et al.)
+merge, exactly the reference's update rule, but vectorized over all envs in
+one shot.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+
+@struct.dataclass
+class RunningStats:
+    """First/second moments plus count, merged batch-at-a-time."""
+
+    mean: Array
+    var: Array
+    count: Array
+
+    @staticmethod
+    def create(shape: Tuple[int, ...] = ()) -> 'RunningStats':
+        return RunningStats(
+            mean=jnp.zeros(shape, jnp.float32),
+            var=jnp.ones(shape, jnp.float32),
+            count=jnp.asarray(1e-4, jnp.float32),
+        )
+
+    def update(self, batch: Array) -> 'RunningStats':
+        """Merge a batch (leading axes are batch axes) into the stats.
+
+        Same parallel-variance merge as the reference
+        (reference: omnisafe/common/normalizer.py:106-139).
+        """
+        feat_ndim = self.mean.ndim
+        batch_axes = tuple(range(batch.ndim - feat_ndim))
+        batch_count = 1.0
+        for ax in batch_axes:
+            batch_count *= batch.shape[ax]
+        batch_mean = jnp.mean(batch, axis=batch_axes)
+        batch_var = jnp.var(batch, axis=batch_axes)
+
+        delta = batch_mean - self.mean
+        total = self.count + batch_count
+        new_mean = self.mean + delta * batch_count / total
+        m_a = self.var * self.count
+        m_b = batch_var * batch_count
+        m2 = m_a + m_b + jnp.square(delta) * self.count * batch_count / total
+        new_var = m2 / total
+        return RunningStats(mean=new_mean, var=new_var, count=total)
+
+    @property
+    def std(self) -> Array:
+        return jnp.sqrt(self.var)
+
+    def normalize(self, x: Array, eps: float = 1e-8) -> Array:
+        return (x - self.mean) / (self.std + eps)
+
+    def unnormalize(self, x: Array, eps: float = 1e-8) -> Array:
+        return x * (self.std + eps) + self.mean
+
+
+__all__ = ['RunningStats']
