@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Headline benchmark: PPO training throughput (env-steps/sec, full loop).
+
+Trains omnisafe_tpu's PPO on the synthetic ``Test-v0`` CMDP — the same task
+and hyperparameter shape as the torch reference baseline measured by
+``benchmarks/torch_baseline.py`` on this host (~168 env-steps/s on CPU, 1
+env) — but TPU-native: 64 vmapped envs, the rollout as one ``lax.scan``, and
+the 40-iteration minibatch SGD sweep as a compiled program.  Prints one JSON
+line with the steady-state (post-compile) throughput.
+"""
+
+import csv
+import glob
+import json
+import os
+import statistics
+import sys
+
+# measured by benchmarks/torch_baseline.py on this image (CPU, torch 8 threads)
+TORCH_CPU_BASELINE_STEPS_PER_SEC = 168.0
+
+
+def main() -> None:
+    import omnisafe_tpu
+
+    steps_per_epoch = 16384
+    epochs = 6
+    agent = omnisafe_tpu.Agent(
+        'PPO',
+        'Test-v0',
+        custom_cfgs={
+            'train_cfgs': {'total_steps': steps_per_epoch * epochs, 'vector_env_nums': 64},
+            'algo_cfgs': {'steps_per_epoch': steps_per_epoch, 'update_iters': 40,
+                          'batch_size': 64},
+            'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_bench'},
+        },
+    )
+    agent.learn()
+    run_dir = agent.logger.log_dir
+    with open(os.path.join(run_dir, 'progress.csv')) as f:
+        rows = list(csv.DictReader(f))
+    fps = [float(r['Time/FPS']) for r in rows]
+    # steady state: drop the first (compile-dominated) epochs
+    steady = fps[2:] if len(fps) > 3 else fps
+    value = statistics.median(steady)
+    print(json.dumps({
+        'metric': 'ppo_env_steps_per_sec',
+        'value': round(value, 1),
+        'unit': 'env-steps/s',
+        'vs_baseline': round(value / TORCH_CPU_BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -50,10 +50,12 @@ def build_env_stack(
     env = make(env_id, **env_kwargs)
     if env.need_time_limit_wrapper:
         env = TimeLimit(env, time_limit or env.max_episode_steps)
-    if env.need_auto_reset_wrapper:
-        env = AutoReset(env)
+    # inner wrappers (EarlyTerminated) sit under AutoReset so their
+    # termination triggers the in-step reset
     if inner_wrapper is not None:
         env = inner_wrapper(env)
+    if env.need_auto_reset_wrapper:
+        env = AutoReset(env)
     env = Vectorize(env, num_envs)
     if getattr(algo_cfgs, 'obs_normalize', False):
         env = ObsNormalize(env)

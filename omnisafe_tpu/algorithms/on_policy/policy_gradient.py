@@ -93,11 +93,16 @@ class PolicyGradient(BaseAlgo):
             'steps_per_epoch must divide by vector_env_nums * num_devices '
             '(reference: policy_gradient.py:70-77)'
         )
+        # like the reference, vector_env_nums is per-device; the adapter owns
+        # the *global* env batch, sharded over the mesh when num_devices > 1
+        self._num_devices = num_devices
+        if num_devices > 1:
+            self._axis_name = 'dp'
         self._steps_per_env = steps_per_epoch // (num_envs * num_devices)
         self._steps_per_epoch = steps_per_epoch
         self._epochs = int(cfgs.train_cfgs.total_steps) // steps_per_epoch
         self._adapter = OnPolicyAdapter(
-            self._env_id, num_envs, cfgs.algo_cfgs, **self._env_kwargs()
+            self._env_id, num_envs * num_devices, cfgs.algo_cfgs, **self._env_kwargs()
         )
 
     def _env_kwargs(self) -> Dict[str, Any]:
@@ -199,6 +204,23 @@ class PolicyGradient(BaseAlgo):
         del Jc
         return extra, {}
 
+    def _loss_pi_mb(
+        self, actor_params: Any, extra: Any, mb: 'OnPolicyBatch', old_dist_mb: Any
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """Per-minibatch actor loss hook.  The default routes through
+        ``_compute_adv_surrogate`` + ``_loss_pi``; algorithms whose loss needs
+        the behavior distribution (FOCOPS, CUP's projection phase) override
+        this and use ``old_dist_mb``."""
+        del old_dist_mb
+        adv = self._compute_adv_surrogate(extra, mb.adv_r, mb.adv_c)
+        return self._loss_pi(actor_params, extra, mb.obs, mb.act, mb.logp, adv)
+
+    def _pre_epoch(self, state: 'OnPolicyTrainState', epoch: int) -> 'OnPolicyTrainState':
+        """Host-side hook before each epoch's rollout (Simmer budget control,
+        std annealing live here)."""
+        del epoch
+        return state
+
     def _critic_loss(self, cparams: Any, critic, obs: Array, target: Array) -> Array:
         pred = critic.apply(cparams, obs)
         loss = jnp.mean(jnp.square(pred - target))
@@ -206,11 +228,30 @@ class PolicyGradient(BaseAlgo):
             loss = loss + float(self._cfgs.algo_cfgs.critic_norm_coef) * _l2_sum(cparams)
         return loss
 
+    def _standardize_batch(self, batch: OnPolicyBatch) -> OnPolicyBatch:
+        """Cross-device advantage standardization exactly where the reference
+        does it (reference: onpolicy_buffer.py:231-236)."""
+        algo = self._cfgs.algo_cfgs
+        adv_r, adv_c = batch.adv_r, batch.adv_c
+        if algo.standardized_rew_adv:
+            mean, std = global_mean_std(adv_r, self._axis_name)
+            adv_r = (adv_r - mean) / (std + 1e-8)
+        if algo.standardized_cost_adv:
+            mean, _ = global_mean_std(adv_c, self._axis_name)
+            adv_c = adv_c - mean
+        return batch.replace(adv_r=adv_r, adv_c=adv_c)
+
     # ------------------------------------------------------------- programs
     def _rollout_program(self, state: OnPolicyTrainState):
         """One epoch of experience + batch assembly (jitted)."""
+        from omnisafe_tpu.parallel import axis as paxis  # pylint: disable=import-outside-toplevel
+
         algo = self._cfgs.algo_cfgs
         key, rkey = jax.random.split(state.key)
+        if self._axis_name is not None:
+            # decorrelate per-device randomness while the carried key stays
+            # replicated across the mesh
+            rkey = jax.random.fold_in(rkey, jax.lax.axis_index(self._axis_name))
         carry, traj, last_vr, last_vc, ep_metrics = self._adapter.rollout(
             state.rollout, state.params, self._actor_critic, rkey, self._steps_per_env
         )
@@ -226,8 +267,8 @@ class PolicyGradient(BaseAlgo):
             penalty_coef=float(algo.get('penalty_coef', 0.0)),
         )
         value_stats = {
-            'Value/reward': jnp.mean(traj.value_r),
-            'Value/cost': jnp.mean(traj.value_c),
+            'Value/reward': self._pmean(jnp.mean(traj.value_r)),
+            'Value/cost': self._pmean(jnp.mean(traj.value_c)),
         }
         return state.replace(rollout=carry, key=key), batch, ep_metrics, value_stats
 
@@ -237,15 +278,7 @@ class PolicyGradient(BaseAlgo):
         algo = self._cfgs.algo_cfgs
         ac = self._actor_critic
         extra, extra_metrics = self._update_extra(state.extra, Jc)
-
-        adv_r, adv_c = batch.adv_r, batch.adv_c
-        if algo.standardized_rew_adv:
-            mean, std = global_mean_std(adv_r, self._axis_name)
-            adv_r = (adv_r - mean) / (std + 1e-8)
-        if algo.standardized_cost_adv:
-            mean, _ = global_mean_std(adv_c, self._axis_name)
-            adv_c = adv_c - mean
-        batch = batch.replace(adv_r=adv_r, adv_c=adv_c)
+        batch = self._standardize_batch(batch)
 
         old_dist = ac.actor.apply(state.params.actor, batch.obs)
         n = batch.obs.shape[0]
@@ -282,9 +315,9 @@ class PolicyGradient(BaseAlgo):
             else:
                 c_loss, new_cc = jnp.zeros(()), params.cost_critic
             # actor (reference: policy_gradient.py:491-543)
-            adv = self._compute_adv_surrogate(extra, mb.adv_r, mb.adv_c)
-            (pi_loss, aux), a_grads = jax.value_and_grad(self._loss_pi, has_aux=True)(
-                params.actor, extra, mb.obs, mb.act, mb.logp, adv
+            old_dist_mb = jax.tree.map(lambda x: x[mb_idx], old_dist)
+            (pi_loss, aux), a_grads = jax.value_and_grad(self._loss_pi_mb, has_aux=True)(
+                params.actor, extra, mb, old_dist_mb
             )
             a_grads = self._pmean(a_grads)
             new_actor, a_opt = _apply_tx(self._actor_tx, a_grads, a_opt, params.actor, lr)
@@ -351,6 +384,9 @@ class PolicyGradient(BaseAlgo):
         metrics['Train/StopIter'] = count.astype(jnp.float32)
         metrics['Value/Adv'] = jnp.mean(batch.adv_r)
         metrics.update(extra_metrics)
+        # shard-local loss means -> cross-device means, so the host logger
+        # sees the same statistics the reference's dist_avg would produce
+        metrics = jax.tree.map(self._pmean, metrics)
 
         new_state = state.replace(
             params=params,
@@ -409,13 +445,24 @@ class PolicyGradient(BaseAlgo):
         """Epoch loop (reference: policy_gradient.py:238-306)."""
         start = time.time()
         state = self._init_train_state()
-        rollout_jit = jax.jit(self._rollout_program)
-        update_jit = jax.jit(self._update_program)
+        if self._num_devices > 1:
+            # SPMD over the dp mesh axis (reference's torchrun DP, compiled in)
+            from omnisafe_tpu.parallel.onpolicy import (  # pylint: disable=import-outside-toplevel
+                make_distributed_programs,
+                make_mesh,
+            )
+
+            mesh = make_mesh(self._num_devices)
+            rollout_jit, update_jit = make_distributed_programs(self, mesh, state)
+        else:
+            rollout_jit = jax.jit(self._rollout_program)
+            update_jit = jax.jit(self._update_program)
         self._logger.setup_saver({'params': lambda: state.params, 'config': self._cfgs.todict()})
 
         for epoch in range(self._epochs):
             epoch_start = time.time()
             state = self._set_std(state, epoch)
+            state = self._pre_epoch(state, epoch)
 
             state, batch, ep_metrics, value_stats = rollout_jit(state)
             jax.block_until_ready(batch.obs)

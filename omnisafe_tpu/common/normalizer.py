@@ -39,15 +39,26 @@ class RunningStats:
         """Merge a batch (leading axes are batch axes) into the stats.
 
         Same parallel-variance merge as the reference
-        (reference: omnisafe/common/normalizer.py:106-139).
+        (reference: omnisafe/common/normalizer.py:106-139).  When a
+        data-parallel mesh axis is active the batch moments are reduced
+        across devices first, so the statistics stay bit-identical on every
+        shard — an improvement over the reference, whose per-rank normalizers
+        silently diverge (reference updates with local data only).
         """
+        from omnisafe_tpu.parallel import axis as paxis  # pylint: disable=import-outside-toplevel
+
         feat_ndim = self.mean.ndim
         batch_axes = tuple(range(batch.ndim - feat_ndim))
         batch_count = 1.0
         for ax in batch_axes:
             batch_count *= batch.shape[ax]
         batch_mean = jnp.mean(batch, axis=batch_axes)
-        batch_var = jnp.var(batch, axis=batch_axes)
+        batch_sq = jnp.mean(jnp.square(batch), axis=batch_axes)
+        if paxis.current_axis() is not None:
+            batch_mean = paxis.pmean(batch_mean)
+            batch_sq = paxis.pmean(batch_sq)
+            batch_count *= paxis.axis_size()
+        batch_var = jnp.maximum(batch_sq - jnp.square(batch_mean), 0.0)
 
         delta = batch_mean - self.mean
         total = self.count + batch_count

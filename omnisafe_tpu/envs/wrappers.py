@@ -122,7 +122,10 @@ class Vectorize(Wrapper):
         return self._vreset(keys)
 
     def step(self, state, action: Array, key: Array):
-        keys = jax.random.split(key, self._num_envs)
+        # derive the local batch size from the action so the same wrapper
+        # serves both the full batch (single device) and a per-device shard
+        # inside shard_map
+        keys = jax.random.split(key, action.shape[0])
         return self._vstep(state, action, keys)
 
 

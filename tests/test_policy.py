@@ -1,0 +1,90 @@
+"""Algorithm smoke-training tests (reference analogue: tests/test_policy.py).
+
+Strategy mirrors the reference: train every registered algorithm end-to-end
+on the tiny synthetic CMDP with a few hundred steps and [8, 8] networks
+(reference: tests/test_policy.py:42-51).  A small representative set runs by
+default; the exhaustive matrix runs under ``--full``.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import omnisafe_tpu
+
+TINY = {
+    'train_cfgs': {'total_steps': 512, 'vector_env_nums': 4},
+    'algo_cfgs': {'steps_per_epoch': 256, 'update_iters': 2, 'batch_size': 64},
+    'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_test_runs'},
+    'model_cfgs': {
+        'actor': {'hidden_sizes': [8, 8]},
+        'critic': {'hidden_sizes': [8, 8]},
+    },
+}
+
+CORE_ON_POLICY = ['PolicyGradient', 'PPO', 'PPOLag']
+
+
+def _train(algo, custom=None):
+    cfg = {k: dict(v) for k, v in TINY.items()}
+    if custom:
+        for k, v in custom.items():
+            cfg.setdefault(k, {}).update(v)
+    agent = omnisafe_tpu.Agent(algo, 'Test-v0', custom_cfgs=cfg)
+    ret, cost, length = agent.learn()
+    assert np.isfinite(ret) and np.isfinite(cost) and np.isfinite(length)
+    return ret, cost, length
+
+
+@pytest.mark.parametrize('algo', CORE_ON_POLICY)
+def test_on_policy_core_smoke(algo):
+    _train(algo)
+
+
+@pytest.mark.full
+@pytest.mark.parametrize(
+    'algo', [a for a in omnisafe_tpu.ALGORITHMS['on-policy'] if a not in CORE_ON_POLICY]
+)
+def test_on_policy_full_matrix(algo):
+    _train(algo)
+
+
+def test_multi_device_data_parallel():
+    """The dp path: shard_map over a 4-device CPU mesh
+    (reference analogue: tests/test_utils.py:91-92 torchrun relaunch)."""
+    cfg = {
+        'train_cfgs': {'total_steps': 512, 'vector_env_nums': 2, 'num_devices': 4},
+        'algo_cfgs': {'steps_per_epoch': 256, 'update_iters': 2, 'batch_size': 32},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_test_runs'},
+        'model_cfgs': TINY['model_cfgs'],
+    }
+    agent = omnisafe_tpu.Agent('PPOLag', 'Test-v0', custom_cfgs=cfg)
+    ret, cost, length = agent.learn()
+    assert np.isfinite(ret) and np.isfinite(cost)
+
+
+def test_learning_direction():
+    """On Test-v0 reward grows with act[0]; PPO must exploit it."""
+    ret, _, _ = _train(
+        'PPO',
+        {
+            'train_cfgs': {'total_steps': 4096},
+            'algo_cfgs': {'update_iters': 8},
+            'model_cfgs': {'actor': {'hidden_sizes': [8, 8], 'lr': 0.01}},
+        },
+    )
+    # random policy averages ~0 reward/step over 10-step episodes
+    assert ret > 2.0
+
+
+def test_checkpoint_artifacts(tmp_path):
+    cfg = {k: dict(v) for k, v in TINY.items()}
+    cfg['logger_cfgs'] = {'use_tensorboard': False, 'log_dir': str(tmp_path),
+                          'save_model_freq': 1}
+    agent = omnisafe_tpu.Agent('PPO', 'Test-v0', custom_cfgs=cfg)
+    agent.learn()
+    run_dir = next((tmp_path / 'Test-v0---PPO').iterdir())
+    assert (run_dir / 'config.json').exists()
+    assert (run_dir / 'progress.csv').exists()
+    assert list((run_dir / 'save').glob('*.msgpack'))
