@@ -1,0 +1,459 @@
+"""DDPG — the off-policy training template.
+
+Counterpart of the reference DDPG (reference:
+omnisafe/algorithms/off_policy/ddpg.py:36-564), re-designed as one jitted
+sample-update program per epoch: a ``lax.scan`` over sample cycles where each
+cycle collects ``update_cycle`` transitions into the device-resident replay
+ring and, once past the warm-up, runs ``update_iters`` TD updates (reward
+critic, cost critic, delayed actor + polyak) on uniformly gathered batches.
+
+Faithful reference quirks preserved: the DDPG TD target bootstraps with the
+*current* actor, not the target actor (reference: ddpg.py:425-427); twin
+pessimism applies to the reward critic only.
+
+Deviation: Lagrangian subclasses ascend λ on a mean episode cost frozen at
+epoch boundaries (the reference re-reads its logger window every update call;
+the window moves on the scale of episodes, not updates, so the dynamics
+match).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from omnisafe_tpu.adapter.offpolicy import OffPolicyAdapter
+from omnisafe_tpu.adapter.onpolicy import RolloutCarry
+from omnisafe_tpu.algorithms.base_algo import BaseAlgo
+from omnisafe_tpu.algorithms.on_policy.policy_gradient import _apply_tx, _l2_sum, _make_tx
+from omnisafe_tpu.algorithms.registry import registry
+from omnisafe_tpu.common.buffer.offpolicy import ReplayBuffer, ReplayBufferState
+from omnisafe_tpu.common.logger import Logger
+from omnisafe_tpu.models.actor_critic import ACQParams, ConstraintActorQCritic
+
+Array = jax.Array
+
+
+@struct.dataclass
+class OffPolicyTrainState:
+    params: ACQParams
+    actor_opt: Any
+    reward_critic_opt: Any
+    cost_critic_opt: Any
+    alpha: Any                 # SAC auto-alpha state or None
+    buffer: ReplayBufferState
+    rollout: RolloutCarry
+    extra: Any
+    update_count: Array
+    global_step: Array
+    key: Array
+
+
+@registry.register
+class DDPG(BaseAlgo):
+    """Deep Deterministic Policy Gradient."""
+
+    _algo_type = 'off-policy'
+
+    # ------------------------------------------------------------------ init
+    def _init_env(self) -> None:
+        cfgs = self._cfgs
+        num_envs = int(cfgs.train_cfgs.vector_env_nums)
+        self._steps_per_epoch = int(cfgs.algo_cfgs.steps_per_epoch)
+        self._update_cycle = int(cfgs.algo_cfgs.update_cycle)
+        assert self._steps_per_epoch % self._update_cycle == 0
+        self._samples_per_epoch = self._steps_per_epoch // self._update_cycle
+        self._epochs = int(cfgs.train_cfgs.total_steps) // self._steps_per_epoch
+        self._adapter = OffPolicyAdapter(self._env_id, num_envs, cfgs.algo_cfgs)
+        self._num_envs = num_envs
+
+    def _init_model(self) -> None:
+        cfgs = self._cfgs
+        self._actor_critic = ConstraintActorQCritic(
+            self._adapter.observation_space, self._adapter.action_space, cfgs.model_cfgs
+        )
+        algo = cfgs.algo_cfgs
+        use_clip = bool(algo.get('max_grad_norm', 0))
+        max_norm = float(algo.get('max_grad_norm', 40.0) or 40.0)
+        self._actor_tx = _make_tx(use_clip, max_norm)
+        self._reward_critic_tx = _make_tx(use_clip, max_norm)
+        self._cost_critic_tx = _make_tx(use_clip, max_norm)
+        self._actor_lr = float(cfgs.model_cfgs.actor.lr)
+        self._critic_lr = float(cfgs.model_cfgs.critic.lr)
+
+    def _init(self) -> None:
+        algo = self._cfgs.algo_cfgs
+        self._buffer = ReplayBuffer(
+            obs_dim=self._adapter.observation_space.shape[0],
+            act_dim=self._adapter.action_space.shape[0],
+            capacity=int(algo.size),
+            num_envs=self._num_envs,
+            penalty_coefficient=float(algo.get('penalty_coef', 0.0)),
+        )
+        self._extra_init: Any = None
+        self._alpha_init: Any = None
+
+    def _init_log(self) -> None:
+        cfgs = self._cfgs
+        exp_name = f'{self._env_id}---{type(self).__name__}'
+        self._logger = Logger(
+            output_dir=cfgs.logger_cfgs.log_dir,
+            exp_name=exp_name,
+            seed=self._seed,
+            use_tensorboard=bool(cfgs.logger_cfgs.use_tensorboard),
+            use_wandb=bool(cfgs.logger_cfgs.use_wandb),
+            config=cfgs,
+        )
+        window = int(cfgs.logger_cfgs.window_lens)
+        log = self._logger
+        log.register_key('Metrics/EpRet', window_length=window, min_and_max=True)
+        log.register_key('Metrics/EpCost', window_length=window, min_and_max=True)
+        log.register_key('Metrics/EpLen', window_length=window, min_and_max=True)
+        log.register_key('Metrics/TestEpRet', window_length=window, min_and_max=True)
+        log.register_key('Metrics/TestEpCost', window_length=window, min_and_max=True)
+        log.register_key('Metrics/TestEpLen', window_length=window, min_and_max=True)
+        log.register_key('Train/Epoch')
+        log.register_key('Train/LR')
+        log.register_key('TotalEnvSteps')
+        log.register_key('Loss/Loss_pi', delta=True)
+        log.register_key('Loss/Loss_reward_critic', delta=True)
+        log.register_key('Value/reward_critic')
+        if cfgs.algo_cfgs.use_cost:
+            log.register_key('Loss/Loss_cost_critic', delta=True)
+            log.register_key('Value/cost_critic')
+        log.register_key('Time/Total')
+        log.register_key('Time/Rollout')
+        log.register_key('Time/Update')
+        log.register_key('Time/Evaluate')
+        log.register_key('Time/Epoch')
+        log.register_key('Time/FPS')
+        self._register_extra_keys(log)
+
+    def _register_extra_keys(self, log: Logger) -> None:
+        """Subclass hook."""
+
+    def _post_epoch_log(self, state: 'OffPolicyTrainState') -> None:
+        """Subclass hook for per-epoch extra metrics (λ etc.)."""
+
+    # ------------------------------------------------------- policy queries
+    def _predict(self, params: ACQParams, obs: Array, key: Array,
+                 deterministic: bool = False) -> Array:
+        """Behavior policy (reference: mlp_actor.py:75-96 — Gaussian
+        exploration noise, clamped to [-1, 1])."""
+        act = self._actor_critic.actor.apply(params.actor, obs)
+        algo = self._cfgs.algo_cfgs
+        if not deterministic and bool(algo.get('use_exploration_noise', False)):
+            noise = float(algo.exploration_noise) * jax.random.normal(key, act.shape)
+            act = jnp.clip(act + noise, -1.0, 1.0)
+        return act
+
+    def _alpha_value(self, alpha_state: Any) -> Array:
+        del alpha_state
+        return jnp.zeros(())
+
+    def _next_reward_action(self, params: ACQParams, next_obs: Array, key: Array
+                            ) -> Tuple[Array, Array]:
+        """Next action (+entropy term) for the reward-critic TD target.
+        DDPG bootstraps with the *current* actor (reference: ddpg.py:425-427)."""
+        del key
+        act = self._actor_critic.actor.apply(params.actor, next_obs)
+        return act, jnp.zeros(next_obs.shape[:-1])
+
+    def _next_cost_action(self, params: ACQParams, next_obs: Array, key: Array) -> Array:
+        """(reference: ddpg.py:465-467 — current actor, deterministic)."""
+        del key
+        return self._actor_critic.actor.apply(params.actor, next_obs)
+
+    # ------------------------------------------------------------- TD losses
+    def _reward_critic_loss(self, rc_params, params: ACQParams, batch, key, alpha_state):
+        algo = self._cfgs.algo_cfgs
+        next_act, next_entropy_term = self._next_reward_action(params, batch['next_obs'], key)
+        next_q = self._actor_critic.reward_critic.apply(
+            params.target_reward_critic, batch['next_obs'], next_act
+        )
+        next_q = jnp.min(next_q, axis=0) - self._alpha_value(alpha_state) * next_entropy_term
+        target = batch['reward'] + float(algo.gamma) * (1.0 - batch['done']) * next_q
+        target = jax.lax.stop_gradient(target)
+        q = self._actor_critic.reward_critic.apply(rc_params, batch['obs'], batch['act'])
+        loss = jnp.sum(jnp.mean(jnp.square(q - target[None, :]), axis=1))
+        if algo.get('use_critic_norm', False):
+            loss = loss + float(algo.critic_norm_coeff) * _l2_sum(rc_params)
+        return loss, jnp.mean(q[0])
+
+    def _cost_critic_loss(self, cc_params, params: ACQParams, batch, key):
+        algo = self._cfgs.algo_cfgs
+        next_act = self._next_cost_action(params, batch['next_obs'], key)
+        next_q = self._actor_critic.cost_critic.apply(
+            params.target_cost_critic, batch['next_obs'], next_act
+        )[0]
+        target = batch['cost'] + float(algo.gamma) * (1.0 - batch['done']) * next_q
+        target = jax.lax.stop_gradient(target)
+        q = self._actor_critic.cost_critic.apply(cc_params, batch['obs'], batch['act'])[0]
+        loss = jnp.mean(jnp.square(q - target))
+        if algo.get('use_critic_norm', False):
+            loss = loss + float(algo.critic_norm_coeff) * _l2_sum(cc_params)
+        return loss, jnp.mean(q)
+
+    def _loss_pi(self, actor_params, params: ACQParams, obs: Array, key: Array,
+                 extra: Any, alpha_state: Any) -> Array:
+        """(reference: ddpg.py:520-546)."""
+        del key, extra, alpha_state
+        act = self._actor_critic.actor.apply(actor_params, obs)
+        q = self._actor_critic.reward_critic.apply(params.reward_critic, obs, act)[0]
+        return -jnp.mean(q)
+
+    def _update_alpha(self, alpha_state: Any, params: ACQParams, obs: Array, key: Array
+                      ) -> Tuple[Any, Dict[str, Array]]:
+        del params, obs, key
+        return alpha_state, {}
+
+    def _update_extra(self, extra: Any, Jc: Array, do_lambda: Array
+                      ) -> Tuple[Any, Dict[str, Array]]:
+        del Jc, do_lambda
+        return extra, {}
+
+    # ------------------------------------------------------------- programs
+    def _zero_update_metrics(self) -> Dict[str, Array]:
+        keys = ['Loss/Loss_pi', 'Loss/Loss_reward_critic', 'Value/reward_critic',
+                'Loss/Loss_cost_critic', 'Value/cost_critic']
+        return {k: jnp.zeros(()) for k in keys}
+
+    # pylint: disable-next=too-many-locals,too-many-statements
+    def _epoch_program(self, state: OffPolicyTrainState, Jc: Array, lr: Array, do_lambda: Array):
+        algo = self._cfgs.algo_cfgs
+        ac = self._actor_critic
+        use_cost = bool(algo.use_cost)
+        batch_size = int(algo.batch_size)
+        update_iters = int(algo.update_iters)
+        policy_delay = int(algo.get('policy_delay', 1))
+        polyak = float(algo.polyak)
+        start_learning = int(algo.start_learning_steps)
+
+        def make_update(buf_state):
+            def update_once(carry, key):
+                params, a_opt, r_opt, c_opt, alpha_state, extra, update_count = carry
+                skey, rkey, ckey, pikey, alkey = jax.random.split(key, 5)
+                batch = self._buffer.sample(buf_state, skey, batch_size)
+                # reward critic (reference: ddpg.py:402-447)
+                (r_loss, q_r), r_grads = jax.value_and_grad(self._reward_critic_loss, has_aux=True)(
+                    params.reward_critic, params, batch, rkey, alpha_state
+                )
+                r_grads = self._pmean(r_grads)
+                new_rc, r_opt = _apply_tx(
+                    self._reward_critic_tx, r_grads, r_opt, params.reward_critic, self._critic_lr
+                )
+                params = params.replace(reward_critic=new_rc)
+                # cost critic (reference: ddpg.py:449-496)
+                if use_cost:
+                    (c_loss, q_c), c_grads = jax.value_and_grad(
+                        self._cost_critic_loss, has_aux=True
+                    )(params.cost_critic, params, batch, ckey)
+                    c_grads = self._pmean(c_grads)
+                    new_cc, c_opt = _apply_tx(
+                        self._cost_critic_tx, c_grads, c_opt, params.cost_critic, self._critic_lr
+                    )
+                    params = params.replace(cost_critic=new_cc)
+                else:
+                    c_loss, q_c = jnp.zeros(()), jnp.zeros(())
+                update_count = update_count + 1
+
+                def actor_update(operand):
+                    params, a_opt, alpha_state = operand
+                    pi_loss, a_grads = jax.value_and_grad(self._loss_pi)(
+                        params.actor, params, batch['obs'], pikey, extra, alpha_state
+                    )
+                    a_grads = self._pmean(a_grads)
+                    new_actor, new_a_opt = _apply_tx(
+                        self._actor_tx, a_grads, a_opt, params.actor, lr
+                    )
+                    params = params.replace(actor=new_actor)
+                    params = ac.polyak_update(params, polyak)
+                    alpha_state, _ = self._update_alpha(alpha_state, params, batch['obs'], alkey)
+                    return params, new_a_opt, alpha_state, pi_loss
+
+                def actor_skip(operand):
+                    params, a_opt, alpha_state = operand
+                    return params, a_opt, alpha_state, jnp.zeros(())
+
+                do_actor = (update_count % policy_delay) == 0
+                params, a_opt, alpha_state, pi_loss = jax.lax.cond(
+                    do_actor, actor_update, actor_skip, (params, a_opt, alpha_state)
+                )
+                metrics = {
+                    'Loss/Loss_pi': pi_loss,
+                    'Loss/Loss_reward_critic': r_loss,
+                    'Value/reward_critic': q_r,
+                    'Loss/Loss_cost_critic': c_loss,
+                    'Value/cost_critic': q_c,
+                }
+                return (params, a_opt, r_opt, c_opt, alpha_state, extra, update_count), metrics
+
+            return update_once
+
+        def cycle(carry, cycle_key):
+            st = carry
+            roll_key, upd_key = jax.random.split(cycle_key)
+            use_rand = st.global_step <= start_learning
+            rollout_carry, buf_state, ep_metrics = self._adapter.rollout(
+                st.rollout,
+                self._buffer,
+                st.buffer,
+                lambda obs, k: self._predict(st.params, obs, k, deterministic=False),
+                roll_key,
+                self._update_cycle,
+                use_rand,
+            )
+            global_step = st.global_step + self._update_cycle * self._num_envs
+            st = st.replace(rollout=rollout_carry, buffer=buf_state, global_step=global_step)
+
+            def do_update(st):
+                extra, extra_metrics = self._update_extra(st.extra, Jc, do_lambda)
+                keys = jax.random.split(upd_key, update_iters)
+                init = (st.params, st.actor_opt, st.reward_critic_opt, st.cost_critic_opt,
+                        st.alpha, extra, st.update_count)
+                (params, a_opt, r_opt, c_opt, alpha_state, extra, update_count), m = (
+                    jax.lax.scan(make_update(st.buffer), init, keys)
+                )
+                new_st = st.replace(
+                    params=params, actor_opt=a_opt, reward_critic_opt=r_opt,
+                    cost_critic_opt=c_opt, alpha=alpha_state, extra=extra,
+                    update_count=update_count,
+                )
+                metrics = jax.tree.map(jnp.mean, m)
+                return new_st, metrics, jnp.ones(())
+
+            def skip_update(st):
+                return st, self._zero_update_metrics(), jnp.zeros(())
+
+            st, upd_metrics, executed = jax.lax.cond(
+                global_step > start_learning, do_update, skip_update, st
+            )
+            out = dict(upd_metrics)
+            out['_executed'] = executed
+            return st, (ep_metrics, out)
+
+        key, *cycle_keys = jax.random.split(state.key, self._samples_per_epoch + 1)
+        state = state.replace(key=key)
+        state, (ep_metrics, upd_metrics) = jax.lax.scan(
+            cycle, state, jnp.stack(cycle_keys)
+        )
+        weights = upd_metrics.pop('_executed')
+        total = jnp.maximum(jnp.sum(weights), 1.0)
+        metrics = {k: self._pmean(jnp.sum(v * weights) / total) for k, v in upd_metrics.items()}
+        return state, ep_metrics, metrics
+
+    def _eval_program(self, state: OffPolicyTrainState, key: Array):
+        return self._adapter.eval_episode(
+            lambda obs, k: self._predict(state.params, obs, k, deterministic=True),
+            key,
+            max_steps=1000,
+        )
+
+    # ------------------------------------------------------------- training
+    def _init_train_state(self) -> OffPolicyTrainState:
+        self._key, model_key, env_key = jax.random.split(self._key, 3)
+        params = self._actor_critic.init(model_key)
+        return OffPolicyTrainState(
+            params=params,
+            actor_opt=self._actor_tx.init(params.actor),
+            reward_critic_opt=self._reward_critic_tx.init(params.reward_critic),
+            cost_critic_opt=self._cost_critic_tx.init(params.cost_critic),
+            alpha=self._alpha_init,
+            buffer=self._buffer.init(),
+            rollout=self._adapter.reset(env_key),
+            extra=self._extra_init,
+            update_count=jnp.zeros((), jnp.int32),
+            global_step=jnp.zeros((), jnp.int32),
+            key=self._key,
+        )
+
+    def _store_episode_metrics(self, ep_metrics, prefix: str = 'Metrics/Ep') -> None:
+        done = np.asarray(ep_metrics.done).reshape(-1)
+        if done.any():
+            self._logger.store(
+                **{
+                    f'{prefix}Ret': np.asarray(ep_metrics.ep_ret).reshape(-1)[done],
+                    f'{prefix}Cost': np.asarray(ep_metrics.ep_cost).reshape(-1)[done],
+                    f'{prefix}Len': np.asarray(ep_metrics.ep_len).reshape(-1)[done],
+                }
+            )
+
+    def learn(self) -> Tuple[float, float, float]:
+        """(reference: ddpg.py:254-348)."""
+        start = time.time()
+        state = self._init_train_state()
+        epoch_jit = jax.jit(self._epoch_program)
+        eval_jit = jax.jit(self._eval_program)
+        warmup_epochs = int(self._cfgs.algo_cfgs.get('warmup_epochs', -1))
+        eval_episodes = int(self._cfgs.train_cfgs.get('eval_episodes', 1))
+        decay = bool(self._cfgs.model_cfgs.get('linear_lr_decay', False))
+
+        for epoch in range(self._epochs):
+            epoch_start = time.time()
+            Jc = self._logger.get_stats('Metrics/EpCost')[0]
+            lr = self._actor_lr * max(1.0 - epoch / max(self._epochs, 1), 0.0) if decay else self._actor_lr
+            do_lambda = epoch > warmup_epochs
+
+            state, ep_metrics, metrics = epoch_jit(
+                state, jnp.asarray(Jc), jnp.asarray(lr), jnp.asarray(do_lambda)
+            )
+            jax.block_until_ready(metrics['Loss/Loss_pi'])
+            rollout_update_time = time.time() - epoch_start
+
+            eval_time = 0.0
+            if eval_episodes > 0:
+                eval_start = time.time()
+                self._key, eval_key = jax.random.split(self._key)
+                test_ret, test_cost, test_len = eval_jit(state, eval_key)
+                self._logger.store(
+                    **{
+                        'Metrics/TestEpRet': np.asarray(test_ret),
+                        'Metrics/TestEpCost': np.asarray(test_cost),
+                        'Metrics/TestEpLen': np.asarray(test_len),
+                    }
+                )
+                eval_time = time.time() - eval_start
+
+            # episode metrics shaped (cycles, steps, B)
+            self._store_episode_metrics(ep_metrics)
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            if not self._cfgs.algo_cfgs.use_cost:
+                host_metrics.pop('Loss/Loss_cost_critic', None)
+                host_metrics.pop('Value/cost_critic', None)
+            self._logger.store(**host_metrics)
+            self._post_epoch_log(state)
+            self._logger.store(
+                **{
+                    'Train/Epoch': epoch,
+                    'Train/LR': lr,
+                    'TotalEnvSteps': int(state.global_step),
+                    'Time/Rollout': rollout_update_time,
+                    'Time/Update': 0.0,
+                    'Time/Evaluate': eval_time,
+                    'Time/Epoch': time.time() - epoch_start,
+                    'Time/Total': time.time() - start,
+                    'Time/FPS': self._steps_per_epoch / max(time.time() - epoch_start, 1e-9),
+                }
+            )
+            self._logger.setup_saver({'params': jax.device_get(state.params),
+                                      'config': self._cfgs.todict()})
+            if (epoch + 1) % int(self._cfgs.logger_cfgs.save_model_freq) == 0:
+                self._logger.save()
+            self._logger.dump_tabular(verbose=False)
+
+        ret = self._logger.get_stats('Metrics/EpRet')[0]
+        cost = self._logger.get_stats('Metrics/EpCost')[0]
+        length = self._logger.get_stats('Metrics/EpLen')[0]
+        self._logger.save(tag='final')
+        self._logger.close()
+        self._final_state = state
+        return ret, cost, length
+
+
+__all__ = ['DDPG', 'OffPolicyTrainState']

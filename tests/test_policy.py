@@ -50,6 +50,39 @@ def test_on_policy_full_matrix(algo):
     _train(algo)
 
 
+OFF_POLICY_TINY = {
+    'train_cfgs': {'total_steps': 400, 'vector_env_nums': 2, 'eval_episodes': 1},
+    'algo_cfgs': {'steps_per_epoch': 200, 'update_cycle': 10, 'update_iters': 2,
+                  'batch_size': 32, 'size': 1000, 'start_learning_steps': 100},
+    'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_test_runs'},
+    'model_cfgs': {'actor': {'hidden_sizes': [8, 8]}, 'critic': {'hidden_sizes': [8, 8]}},
+}
+
+CORE_OFF_POLICY = ['DDPG', 'SACLag']
+
+
+def _train_off_policy(algo):
+    cfg = {k: dict(v) for k, v in OFF_POLICY_TINY.items()}
+    if algo.endswith(('Lag', 'PID')):
+        cfg['algo_cfgs']['warmup_epochs'] = 0
+    agent = omnisafe_tpu.Agent(algo, 'Test-v0', custom_cfgs=cfg)
+    ret, cost, length = agent.learn()
+    assert np.isfinite(ret) and np.isfinite(cost) and np.isfinite(length)
+
+
+@pytest.mark.parametrize('algo', CORE_OFF_POLICY)
+def test_off_policy_core_smoke(algo):
+    _train_off_policy(algo)
+
+
+@pytest.mark.full
+@pytest.mark.parametrize(
+    'algo', [a for a in omnisafe_tpu.ALGORITHMS['off-policy'] if a not in CORE_OFF_POLICY]
+)
+def test_off_policy_full_matrix(algo):
+    _train_off_policy(algo)
+
+
 def test_multi_device_data_parallel():
     """The dp path: shard_map over a 4-device CPU mesh
     (reference analogue: tests/test_utils.py:91-92 torchrun relaunch)."""
