@@ -97,6 +97,8 @@ class _NavigationEnv(CMDP):
     def __init__(self, env_id: str, **kwargs) -> None:
         super().__init__(env_id, **kwargs)
         name = env_id[len('Safety'):]
+        if name.endswith('-modelbased'):
+            name = name[: -len('-modelbased')]
         for robot in _ROBOTS:
             if name.startswith(robot):
                 self._robot = robot
@@ -279,4 +281,48 @@ class SafetyNavigationEnv(_NavigationEnv):
     _support_envs = _nav_ids()
 
 
-__all__ = ['SafetyNavigationEnv']
+@env_register
+class SafetyNavigationModelBasedEnv(_NavigationEnv):
+    """``*-modelbased`` Goal tasks with *coordinate* observations.
+
+    Counterpart of the reference's ``SafetyGymnasiumModelBased`` env
+    (reference: omnisafe/envs/safety_gymnasium_modelbased.py:36-528): the
+    model-based stack plans through a learned dynamics model over a
+    coordinate state — ``[pos, vel, sin/cos heading, goal, hazards...]`` —
+    and computes costs analytically from *predicted* states via
+    :meth:`cost_from_obs` (the reference's ``get_cost_from_obs_tensor``).
+    """
+
+    _support_envs = [
+        f'Safety{robot}Goal{level}-v0-modelbased'
+        for robot in _ROBOTS
+        for level in (0, 1, 2)
+    ]
+
+    @property
+    def observation_space(self) -> Box:
+        num_h = max(self._num_hazards, 1)
+        return Box.create(-jnp.inf, jnp.inf, (8 + 2 * num_h,))
+
+    def _obs(self, state: NavState) -> Array:
+        return jnp.concatenate([
+            state.pos,
+            state.vel,
+            jnp.stack([jnp.sin(state.theta), jnp.cos(state.theta)]),
+            state.goal,
+            state.hazards.reshape(-1),
+        ])
+
+    def cost_from_obs(self, obs: Array) -> Array:
+        """Analytic cost from a (batched) coordinate observation: 1 inside any
+        hazard (reference: safety_gymnasium_modelbased.py
+        ``get_cost_from_obs_tensor``).  Accepts (..., obs_dim)."""
+        pos = obs[..., 0:2]
+        hazards = obs[..., 8:].reshape(obs.shape[:-1] + (-1, 2))
+        dist = jnp.linalg.norm(hazards - pos[..., None, :], axis=-1)
+        in_hazard = jnp.any(dist < _HAZARD_SIZE, axis=-1)
+        valid = jnp.asarray(self._num_hazards > 0, jnp.float32)
+        return in_hazard.astype(jnp.float32) * valid
+
+
+__all__ = ['SafetyNavigationEnv', 'SafetyNavigationModelBasedEnv']

@@ -193,6 +193,57 @@ class CostNormalize(Wrapper):
         )
 
 
+@struct.dataclass
+class ActionRepeatState:
+    env: Any
+
+
+class ActionRepeat(Wrapper):
+    """Repeat each action ``times`` steps, summing rewards and costs
+    (reference: omnisafe/envs/wrapper.py:517-574).  Stops early within the
+    repeat window on termination/truncation (remaining repeats are masked)."""
+
+    def __init__(self, env: CMDP, times: int) -> None:
+        super().__init__(env)
+        self._times = times
+
+    def reset(self, key: Array):
+        state, obs = self._env.reset(key)
+        return ActionRepeatState(env=state), obs
+
+    def step(self, state: ActionRepeatState, action: Array, key: Array):
+        def body(carry, rep_key):
+            inner, ts_acc, alive = carry
+
+            def do_step(_):
+                new_inner, ts = self._env.step(inner, action, rep_key)
+                return new_inner, ts
+
+            def no_step(_):
+                return inner, ts_acc
+
+            new_inner, ts = jax.lax.cond(alive, do_step, no_step, None)
+            live = alive.astype(jnp.float32)
+            merged = ts.replace(
+                reward=ts_acc.reward + ts.reward * live,
+                cost=ts_acc.cost + ts.cost * live,
+                terminated=jnp.where(alive, ts.terminated, ts_acc.terminated),
+                truncated=jnp.where(alive, ts.truncated, ts_acc.truncated),
+                obs=jnp.where(alive, ts.obs, ts_acc.obs),
+                final_obs=jnp.where(alive, ts.final_obs, ts_acc.final_obs),
+            )
+            new_alive = jnp.logical_and(alive, jnp.logical_not(merged.done))
+            return (new_inner, merged, new_alive), None
+
+        first_key, *rep_keys = jax.random.split(key, self._times + 1)
+        inner, ts0 = self._env.step(state.env, action, first_key)
+        alive = jnp.logical_not(ts0.done)
+        (inner, ts, _), _ = jax.lax.scan(
+            body, (inner, ts0, alive), jnp.stack(rep_keys)[: self._times - 1]
+        )
+        return ActionRepeatState(env=inner), ts
+
+
 class ActionScale(Wrapper):
     """Present a ``[-1, 1]`` action space and affinely map actions back to the
     env's native bounds (reference: omnisafe/envs/wrapper.py:426-514)."""

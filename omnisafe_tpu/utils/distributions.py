@@ -88,5 +88,15 @@ class TanhNormal:
     def mode(self) -> Array:
         return jnp.tanh(self.base.loc)
 
+    def mode_with_log_prob(self) -> Tuple[Array, Array]:
+        """Mode and its log-prob computed from the pre-activation directly —
+        avoids the ``atanh(clip(tanh(x)))`` round trip whose gradient explodes
+        as ``|tanh(x)| -> 1`` (needed by deterministic tanh-actor losses)."""
+        pre = self.base.loc
+        logp = self.base.log_prob(pre) - jnp.sum(
+            2.0 * (math.log(2.0) - pre - jax.nn.softplus(-2.0 * pre)), axis=-1
+        )
+        return jnp.tanh(pre), logp
+
 
 __all__ = ['Normal', 'TanhNormal']

@@ -83,6 +83,46 @@ def test_off_policy_full_matrix(algo):
     _train_off_policy(algo)
 
 
+MODEL_BASED_TINY = {
+    'train_cfgs': {'total_steps': 500},
+    'algo_cfgs': {'steps_per_epoch': 500, 'update_dynamics_cycle': 250,
+                  'start_learning_steps': 250, 'action_repeat': 5},
+    'dynamics_cfgs': {'batch_size': 32, 'hidden_size': 16},
+    'planner_cfgs': {'num_samples': 20, 'num_elites': 8, 'num_particles': 5,
+                     'plan_horizon': 4, 'num_iterations': 2},
+    'evaluation_cfgs': {'use_eval': False},
+    'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_test_runs',
+                    'save_model_freq': 100},
+}
+
+CORE_MODEL_BASED = ['CCEPETS', 'SafeLOOP']
+
+
+def _train_model_based(algo):
+    cfg = {k: dict(v) for k, v in MODEL_BASED_TINY.items()}
+    if 'LOOP' in algo:
+        cfg['algo_cfgs'].update({'update_policy_cycle': 125, 'update_policy_iters': 2,
+                                 'policy_batch_size': 32})
+        cfg['model_cfgs'] = {'actor': {'hidden_sizes': [8, 8]},
+                             'critic': {'hidden_sizes': [8, 8]}}
+    agent = omnisafe_tpu.Agent(algo, 'SafetyPointGoal1-v0-modelbased', custom_cfgs=cfg)
+    ret, cost, length = agent.learn()
+    assert np.isfinite(ret) and np.isfinite(cost)
+
+
+@pytest.mark.parametrize('algo', CORE_MODEL_BASED)
+def test_model_based_core_smoke(algo):
+    _train_model_based(algo)
+
+
+@pytest.mark.full
+@pytest.mark.parametrize(
+    'algo', [a for a in omnisafe_tpu.ALGORITHMS['model-based'] if a not in CORE_MODEL_BASED]
+)
+def test_model_based_full_matrix(algo):
+    _train_model_based(algo)
+
+
 def test_multi_device_data_parallel():
     """The dp path: shard_map over a 4-device CPU mesh
     (reference analogue: tests/test_utils.py:91-92 torchrun relaunch)."""
