@@ -1,6 +1,6 @@
 """Algorithm layer: registry + families (reference layer: omnisafe/algorithms/**)."""
 
-from omnisafe_tpu.algorithms import model_based, off_policy, on_policy  # noqa: F401  (registration)
+from omnisafe_tpu.algorithms import model_based, off_policy, offline, on_policy  # noqa: F401  (registration)
 from omnisafe_tpu.algorithms.registry import registry
 
 ALGORITHM2TYPE = {

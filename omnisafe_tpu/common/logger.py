@@ -143,10 +143,18 @@ class Logger:
         os.makedirs(save_dir, exist_ok=True)
         tag = tag if tag is not None else f'epoch-{self._epoch}'
         path = os.path.join(save_dir, f'{tag}.msgpack')
-        payload = {
-            key: serialization.to_state_dict(jax.device_get(val() if callable(val) else val))
-            for key, val in self._what_to_save.items()
-        }
+        def materialize(val):
+            val = val() if callable(val) else val
+            # PRNG keys can't serialize; store their raw uint32 data
+            val = jax.tree.map(
+                lambda leaf: jax.random.key_data(leaf)
+                if hasattr(leaf, 'dtype') and jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+                else leaf,
+                val,
+            )
+            return serialization.to_state_dict(jax.device_get(val))
+
+        payload = {key: materialize(val) for key, val in self._what_to_save.items()}
         with open(path, 'wb') as f:
             f.write(serialization.msgpack_serialize(payload))
         return path

@@ -123,6 +123,53 @@ def test_model_based_full_matrix(algo):
     _train_model_based(algo)
 
 
+@pytest.fixture(scope='module')
+def offline_dataset(tmp_path_factory):
+    from omnisafe_tpu.common.offline import OfflineDataCollector
+
+    path = str(tmp_path_factory.mktemp('data') / 'testv0')
+    return OfflineDataCollector('Test-v0', num_envs=8).collect(1000, path, seed=0)
+
+
+def _offline_cfg(algo, dataset):
+    cfg = {
+        'train_cfgs': {'total_steps': 100, 'dataset': dataset, 'evaluate_epoisodes': 2},
+        'algo_cfgs': {'steps_per_epoch': 50, 'batch_size': 64},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_test_runs',
+                        'save_model_freq': 100},
+    }
+    if algo == 'VAEBC':
+        cfg['model_cfgs'] = {'hidden_sizes': [16, 16]}
+    elif algo == 'COptiDICE':
+        cfg['model_cfgs'] = {'actor': {'hidden_sizes': [16, 16]},
+                             'nu': {'hidden_sizes': [16, 16]},
+                             'chi': {'hidden_sizes': [16, 16]}}
+    else:
+        cfg['model_cfgs'] = {'actor': {'hidden_sizes': [16, 16]},
+                             'critic': {'hidden_sizes': [16, 16]}}
+    return cfg
+
+
+CORE_OFFLINE = ['BCQLag', 'COptiDICE']
+
+
+@pytest.mark.parametrize('algo', CORE_OFFLINE)
+def test_offline_core_smoke(algo, offline_dataset):
+    agent = omnisafe_tpu.Agent(algo, 'Test-v0', custom_cfgs=_offline_cfg(algo, offline_dataset))
+    ret, cost, length = agent.learn()
+    assert np.isfinite(ret) and np.isfinite(cost)
+
+
+@pytest.mark.full
+@pytest.mark.parametrize(
+    'algo', [a for a in omnisafe_tpu.ALGORITHMS['offline'] if a not in CORE_OFFLINE]
+)
+def test_offline_full_matrix(algo, offline_dataset):
+    agent = omnisafe_tpu.Agent(algo, 'Test-v0', custom_cfgs=_offline_cfg(algo, offline_dataset))
+    ret, cost, length = agent.learn()
+    assert np.isfinite(ret) and np.isfinite(cost)
+
+
 def test_multi_device_data_parallel():
     """The dp path: shard_map over a 4-device CPU mesh
     (reference analogue: tests/test_utils.py:91-92 torchrun relaunch)."""
