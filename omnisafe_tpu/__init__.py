@@ -9,6 +9,7 @@ registry, and the environment registry.
 from omnisafe_tpu import algorithms, envs, models
 from omnisafe_tpu.algo_wrapper import Agent, AlgoWrapper
 from omnisafe_tpu.algorithms import ALGORITHM2TYPE, ALGORITHMS, registry
+from omnisafe_tpu.evaluator import Evaluator
 from omnisafe_tpu.version import __version__
 
 __all__ = [
@@ -17,5 +18,6 @@ __all__ = [
     'ALGORITHMS',
     'ALGORITHM2TYPE',
     'registry',
+    'Evaluator',
     '__version__',
 ]

@@ -11,5 +11,7 @@ from omnisafe_tpu.algorithms.off_policy.lagrange_variants import (
     TD3Lag,
     TD3PID,
 )
+from omnisafe_tpu.algorithms.off_policy.crabs import CRABS
 
-__all__ = ['DDPG', 'TD3', 'SAC', 'DDPGLag', 'TD3Lag', 'SACLag', 'DDPGPID', 'TD3PID', 'SACPID']
+__all__ = ['DDPG', 'TD3', 'SAC', 'DDPGLag', 'TD3Lag', 'SACLag', 'DDPGPID', 'TD3PID',
+           'SACPID', 'CRABS']

@@ -141,6 +141,16 @@ class DDPG(BaseAlgo):
     def _post_epoch_log(self, state: 'OffPolicyTrainState') -> None:
         """Subclass hook for per-epoch extra metrics (λ etc.)."""
 
+    def _behavior_policy(self, st: 'OffPolicyTrainState'):
+        """Exploration policy used during rollout; CRABS overrides this with
+        barrier-filtered action selection."""
+        return lambda obs, k: self._predict(st.params, obs, k, deterministic=False)
+
+    def _between_epochs(self, state: 'OffPolicyTrainState') -> 'OffPolicyTrainState':
+        """Host-side hook between epochs (CRABS trains its transition model
+        and barrier certificate here)."""
+        return state
+
     # ------------------------------------------------------- policy queries
     def _predict(self, params: ACQParams, obs: Array, key: Array,
                  deterministic: bool = False) -> Array:
@@ -304,7 +314,7 @@ class DDPG(BaseAlgo):
                 st.rollout,
                 self._buffer,
                 st.buffer,
-                lambda obs, k: self._predict(st.params, obs, k, deterministic=False),
+                self._behavior_policy(st),
                 roll_key,
                 self._update_cycle,
                 use_rand,
@@ -404,6 +414,7 @@ class DDPG(BaseAlgo):
                 state, jnp.asarray(Jc), jnp.asarray(lr), jnp.asarray(do_lambda)
             )
             jax.block_until_ready(metrics['Loss/Loss_pi'])
+            state = self._between_epochs(state)
             rollout_update_time = time.time() - epoch_start
 
             eval_time = 0.0

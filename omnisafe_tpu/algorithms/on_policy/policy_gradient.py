@@ -399,11 +399,17 @@ class PolicyGradient(BaseAlgo):
         return new_state, metrics
 
     # ------------------------------------------------------------- training
+    def restore(self, checkpoint_path: str) -> None:
+        """Arm mid-training resume from a saved ``train_state`` checkpoint —
+        a capability the reference lacks (its checkpoints are save-only,
+        reference: omnisafe/common/logger.py:175-194)."""
+        self._restore_path = checkpoint_path
+
     def _init_train_state(self) -> OnPolicyTrainState:
         self._key, model_key, env_key = jax.random.split(self._key, 3)
         params = self._actor_critic.init(model_key)
         rollout = self._adapter.reset(env_key)
-        return OnPolicyTrainState(
+        state = OnPolicyTrainState(
             params=params,
             actor_opt=self._actor_tx.init(params.actor),
             reward_critic_opt=self._reward_critic_tx.init(params.reward_critic),
@@ -412,6 +418,21 @@ class PolicyGradient(BaseAlgo):
             extra=self._extra_init,
             key=self._key,
         )
+        restore_path = getattr(self, '_restore_path', None)
+        if restore_path:
+            from omnisafe_tpu.utils.checkpoint import (  # pylint: disable=import-outside-toplevel
+                load_checkpoint,
+                restore_into,
+            )
+
+            payload = load_checkpoint(restore_path)
+            if 'train_state' in payload:
+                state = restore_into(state, payload['train_state'])
+            elif 'params' in payload:
+                state = state.replace(params=restore_into(state.params, payload['params']))
+            else:
+                raise KeyError(f'checkpoint {restore_path} has no train_state/params')
+        return state
 
     def _actor_lr_at(self, epoch: int) -> float:
         """LinearLR over epochs (reference: actor_critic.py:99-113)."""
@@ -498,7 +519,11 @@ class PolicyGradient(BaseAlgo):
             if self._cfgs.algo_cfgs.use_cost:
                 self._logger.store(**{'Value/cost': float(value_stats['Value/cost'])})
 
-            self._logger.setup_saver({'params': jax.device_get(state.params), 'config': self._cfgs.todict()})
+            self._logger.setup_saver({
+                'params': jax.device_get(state.params),
+                'train_state': jax.device_get(state),
+                'config': self._cfgs.todict(),
+            })
             if (epoch + 1) % int(self._cfgs.logger_cfgs.save_model_freq) == 0:
                 self._logger.save()
             self._logger.dump_tabular(verbose=False)

@@ -123,6 +123,23 @@ def test_model_based_full_matrix(algo):
     _train_model_based(algo)
 
 
+@pytest.mark.full
+def test_crabs_smoke():
+    cfg = {
+        'train_cfgs': {'total_steps': 400, 'vector_env_nums': 2, 'eval_episodes': 1},
+        'algo_cfgs': {'steps_per_epoch': 200, 'update_cycle': 10, 'update_iters': 1,
+                      'batch_size': 32, 'size': 1000, 'start_learning_steps': 100,
+                      'num_candidates': 4},
+        'dynamics_cfgs': {'hidden_size': 16, 'batch_size': 32, 'max_epoch': 2},
+        'crabs_cfgs': {'pool_size': 32, 'cert_iters': 2, 'barrier_hidden_sizes': [8, 8]},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_test_runs'},
+        'model_cfgs': {'actor': {'hidden_sizes': [8, 8]}, 'critic': {'hidden_sizes': [8, 8]}},
+    }
+    agent = omnisafe_tpu.Agent('CRABS', 'SafeInvertedPendulum-v2', custom_cfgs=cfg)
+    ret, cost, length = agent.learn()
+    assert np.isfinite(ret) and np.isfinite(cost)
+
+
 @pytest.fixture(scope='module')
 def offline_dataset(tmp_path_factory):
     from omnisafe_tpu.common.offline import OfflineDataCollector

@@ -1,0 +1,97 @@
+"""Experiment tooling tests: Evaluator, CLI, ExperimentGrid, StatisticsTools,
+Plotter, resume (reference analogue: tests/test_cli.py:27-130,
+tests/test_statistics_tools.py:22-36)."""
+
+import csv
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import omnisafe_tpu
+from omnisafe_tpu.common.experiment_grid import ExperimentGrid
+from omnisafe_tpu.common.statistics_tools import StatisticsTools
+from omnisafe_tpu.utils.command_app import custom_cfgs_to_dict, main
+from omnisafe_tpu.utils.plotter import Plotter
+
+TINY_ARGS = [
+    '--total-steps', '512', '--vector-env-nums', '4',
+    '--custom-cfgs',
+    'algo_cfgs:steps_per_epoch=256', 'algo_cfgs:update_iters=2',
+    'algo_cfgs:batch_size=64', 'logger_cfgs:use_tensorboard=false',
+    'model_cfgs:actor:hidden_sizes=[8,8]', 'model_cfgs:critic:hidden_sizes=[8,8]',
+]
+
+
+def test_custom_cfgs_parsing():
+    out = custom_cfgs_to_dict(['algo_cfgs:gamma=0.9', 'train_cfgs:total_steps=100',
+                               'model_cfgs:actor:hidden_sizes=[8,8]'])
+    assert out['algo_cfgs']['gamma'] == 0.9
+    assert out['train_cfgs']['total_steps'] == 100
+    assert out['model_cfgs']['actor']['hidden_sizes'] == [8, 8]
+
+
+@pytest.fixture(scope='module')
+def trained_run(tmp_path_factory):
+    log_dir = str(tmp_path_factory.mktemp('cli_run'))
+    main(['train', '--algo', 'PPO', '--env-id', 'SafetyPointGoal1-v0',
+          '--log-dir', log_dir, *TINY_ARGS])
+    run_dir = glob.glob(os.path.join(log_dir, 'SafetyPointGoal1-v0---PPO', 'seed-*'))[0]
+    return run_dir
+
+
+def test_cli_train_and_evaluator(trained_run):
+    evaluator = omnisafe_tpu.Evaluator()
+    evaluator.load_saved(trained_run)
+    ret, cost, length = evaluator.evaluate(num_episodes=2)
+    assert np.isfinite(ret) and np.isfinite(cost) and length > 0
+
+
+def test_evaluator_render(trained_run, tmp_path):
+    evaluator = omnisafe_tpu.Evaluator()
+    evaluator.load_saved(trained_run)
+    evaluator.render(num_episodes=1, save_replay_path=str(tmp_path))
+    assert (tmp_path / 'episode-0.png').exists()
+
+
+def test_resume_from_checkpoint(trained_run):
+    ckpt = glob.glob(os.path.join(trained_run, 'save', '*.msgpack'))[0]
+    agent = omnisafe_tpu.Agent('PPO', 'SafetyPointGoal1-v0', custom_cfgs={
+        'train_cfgs': {'total_steps': 256, 'vector_env_nums': 4},
+        'algo_cfgs': {'steps_per_epoch': 256, 'update_iters': 1, 'batch_size': 64},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_resume'},
+        'model_cfgs': {'actor': {'hidden_sizes': [8, 8]}, 'critic': {'hidden_sizes': [8, 8]}},
+    })
+    agent.agent.restore(ckpt)
+    ret, cost, length = agent.learn()
+    assert np.isfinite(ret)
+
+
+def test_experiment_grid_and_tools(tmp_path):
+    grid = ExperimentGrid('grid_test')
+    grid.add('algo', ['PPO'])
+    grid.add('env_id', ['Test-v0'])
+    grid.add('algo_cfgs:update_iters', [1, 2])
+    grid.add('train_cfgs:total_steps', [256])
+    grid.add('train_cfgs:vector_env_nums', [4])
+    grid.add('algo_cfgs:steps_per_epoch', [256])
+    grid.add('algo_cfgs:batch_size', [64])
+    grid.add('logger_cfgs:use_tensorboard', [False])
+    results = grid.run(num_pool=1, exp_dir=str(tmp_path))
+    assert len(results) == 2
+    assert all(r['error'] is None for r in results.values())
+
+    analyzed = ExperimentGrid.analyze(str(tmp_path))
+    assert len(analyzed) == 2
+
+    tools = StatisticsTools()
+    tools.load_source(str(tmp_path))
+    out = tools.draw_graph(parameter='algo_cfgs:update_iters')
+    assert os.path.exists(out)
+
+    plot = Plotter().make_plots(
+        [str(tmp_path)], value='Metrics/EpRet', cost_limit=25.0,
+        save_name=str(tmp_path / 'curves.png'),
+    )
+    assert os.path.exists(plot)
