@@ -143,6 +143,37 @@ def test_all_estimators_finite(estimator):
         assert leaf.shape == (T * B,)
 
 
+def test_vtrace_matches_reference_recursion():
+    """V-trace scan vs the reference's per-path Python recursion
+    (reference: onpolicy_buffer.py:338-405) with rho = c = 1."""
+    T = 6
+    rng = np.random.default_rng(7)
+    rewards = rng.normal(size=T).astype(np.float32)
+    values = rng.normal(size=T).astype(np.float32)
+    last_v = 0.3
+    gamma = 0.95
+
+    # reference recursion on [values..., bootstrap]
+    vals_ext = np.append(values, last_v)
+    rews_ext = np.append(rewards, last_v)
+    v_s = vals_ext[:-1].copy()
+    last_v_s = vals_ext[-1]
+    for i in reversed(range(T)):
+        delta = rews_ext[i] + gamma * vals_ext[i + 1] - vals_ext[i]
+        v_s[i] += delta + gamma * (last_v_s - vals_ext[i + 1])
+        last_v_s = v_s[i]
+    v_s_plus_1 = np.append(v_s[1:], vals_ext[-1])
+    expected_adv = rews_ext[:-1] + gamma * v_s_plus_1 - vals_ext[:-1]
+
+    traj = _traj(T, reward=jnp.asarray(rewards)[:, None], value_r=jnp.asarray(values)[:, None])
+    batch = compute_batch(
+        traj, jnp.asarray([last_v]), jnp.asarray([0.0]),
+        gamma=gamma, cost_gamma=gamma, lam=0.95, lam_c=0.95, estimator='vtrace',
+    )
+    np.testing.assert_allclose(np.asarray(batch.target_value_r), v_s, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batch.adv_r), expected_adv, rtol=1e-4, atol=1e-5)
+
+
 def test_plain_estimator_is_td_error():
     T = 3
     rewards = np.array([1.0, 2.0, 3.0], np.float32)

@@ -115,6 +115,21 @@ def test_velocity_cost_semantics():
     assert cost == 1.0
 
 
+@pytest.mark.parametrize('env_id', support_envs())
+def test_every_registered_env_contract(env_id):
+    """Contract sweep over the entire registry (reference analogue:
+    tests/test_env.py loops support lists)."""
+    env = make(env_id)
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == env.observation_space.shape
+    act = env.action_space.sample(jax.random.key(1))
+    state, ts = env.step(state, act, jax.random.key(2))
+    assert ts.obs.shape == env.observation_space.shape
+    assert ts.final_obs.shape == env.observation_space.shape
+    assert np.isfinite(float(ts.reward)) and np.isfinite(float(ts.cost))
+    assert env.max_episode_steps > 0
+
+
 def test_navigation_hazard_cost():
     env = make('SafetyPointGoal1-v0')
     state, _ = env.reset(jax.random.key(0))
