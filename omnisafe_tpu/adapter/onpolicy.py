@@ -47,16 +47,23 @@ def build_env_stack(
     **env_kwargs: Any,
 ) -> CMDP:
     """Assemble the wrapper stack in the reference's fixed order."""
-    env = make(env_id, **env_kwargs)
-    if env.need_time_limit_wrapper:
-        env = TimeLimit(env, time_limit or env.max_episode_steps)
-    # inner wrappers (EarlyTerminated) sit under AutoReset so their
-    # termination triggers the in-step reset
-    if inner_wrapper is not None:
-        env = inner_wrapper(env)
-    if env.need_auto_reset_wrapper:
-        env = AutoReset(env)
-    env = Vectorize(env, num_envs)
+    from omnisafe_tpu.envs.core import _ENV_REGISTRY  # pylint: disable=import-outside-toplevel
+
+    cls = _ENV_REGISTRY.get(env_id)
+    if cls is not None and getattr(cls, 'is_vectorized', False):
+        # host-backed envs own their batch and auto-reset themselves
+        env = make(env_id, num_envs=num_envs, **env_kwargs)
+    else:
+        env = make(env_id, **env_kwargs)
+        if env.need_time_limit_wrapper:
+            env = TimeLimit(env, time_limit or env.max_episode_steps)
+        # inner wrappers (EarlyTerminated) sit under AutoReset so their
+        # termination triggers the in-step reset
+        if inner_wrapper is not None:
+            env = inner_wrapper(env)
+        if env.need_auto_reset_wrapper:
+            env = AutoReset(env)
+        env = Vectorize(env, num_envs)
     if getattr(algo_cfgs, 'obs_normalize', False):
         env = ObsNormalize(env)
     if getattr(algo_cfgs, 'reward_normalize', False):

@@ -1,7 +1,13 @@
 """Environment layer: pure-functional CMDPs + registry + wrappers
 (reference layer: omnisafe/envs/**)."""
 
-from omnisafe_tpu.envs import classic_control, navigation, simple_env, velocity  # noqa: F401  (registration)
+from omnisafe_tpu.envs import (  # noqa: F401  (registration)
+    classic_control,
+    host_mujoco,
+    navigation,
+    simple_env,
+    velocity,
+)
 from omnisafe_tpu.envs.core import CMDP, TimeStep, Wrapper, env_register, make, support_envs
 from omnisafe_tpu.envs.spaces import Box
 from omnisafe_tpu.envs.wrappers import (

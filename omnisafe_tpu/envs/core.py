@@ -66,6 +66,9 @@ class CMDP(abc.ABC):
     _support_envs: ClassVar[List[str]] = []
     need_time_limit_wrapper: bool = True
     need_auto_reset_wrapper: bool = True
+    # host-backed envs own their whole batch (and auto-reset) themselves; the
+    # adapter then skips TimeLimit/AutoReset/Vectorize
+    is_vectorized: bool = False
     env_spec_log: Dict[str, float] = {}
 
     def __init__(self, env_id: str, **kwargs: Any) -> None:

@@ -1,0 +1,141 @@
+"""Host-side MuJoCo velocity environments (the non-jittable escape hatch).
+
+The reference marshals numpy<->torch around host MuJoCo every step
+(reference: omnisafe/envs/safety_gymnasium_env.py:160-210, mujoco_env.py:
+42-186); the TPU-native equivalent is ``jax.experimental.io_callback``: the
+device program calls out to a host-side *batch* of real Gymnasium MuJoCo envs
+once per step, inside the same jitted rollout scan.  This provides
+real-physics ``Safety*Velocity`` tasks (cost = 1[|x_velocity| > threshold],
+thresholds from Safety-Gymnasium) at host-bound throughput — the
+correctness-parity backend next to the fast pure-JAX surrogates in
+``envs/velocity.py``.
+
+Limitations: host state lives in this process (single-host only; not
+compatible with the shard_map dp mesh), and episodes auto-reset host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import io_callback
+
+from omnisafe_tpu.envs.core import CMDP, TimeStep, env_register
+from omnisafe_tpu.envs.spaces import Box
+
+Array = jax.Array
+
+# Safety-Gymnasium velocity-constraint thresholds (50% of the unconstrained
+# agent's top speed, as published by safety_gymnasium's velocity tasks).
+_SPECS = {
+    'Ant': ('Ant-v5', 2.6222),
+    'HalfCheetah': ('HalfCheetah-v5', 3.2096),
+    'Hopper': ('Hopper-v5', 0.7402),
+    'Walker2d': ('Walker2d-v5', 2.3415),
+    'Swimmer': ('Swimmer-v5', 0.24455),
+    'Humanoid': ('Humanoid-v5', 1.4149),
+}
+
+
+@env_register
+class HostMujocoVelocityEnv(CMDP):
+    """Real-MuJoCo velocity-limited locomotion via host callbacks."""
+
+    _support_envs = [f'Safety{r}Velocity-v1-mujoco' for r in _SPECS]
+    need_time_limit_wrapper = False   # gymnasium's TimeLimit handles this
+    need_auto_reset_wrapper = False   # auto-reset happens host-side
+    is_vectorized = True
+
+    def __init__(self, env_id: str, num_envs: int = 1, **kwargs: Any) -> None:
+        super().__init__(env_id, **kwargs)
+        import gymnasium  # pylint: disable=import-outside-toplevel
+
+        robot = env_id[len('Safety'):-len('Velocity-v1-mujoco')]
+        gym_id, self._velocity_limit = _SPECS[robot]
+        self._num_envs = num_envs
+        self._envs = [gymnasium.make(gym_id) for _ in range(num_envs)]
+        self._obs_dim = int(self._envs[0].observation_space.shape[0])
+        self._act_space = self._envs[0].action_space
+
+    @property
+    def num_envs(self) -> int:
+        return self._num_envs
+
+    @property
+    def observation_space(self) -> Box:
+        return Box.create(-jnp.inf, jnp.inf, (self._obs_dim,))
+
+    @property
+    def action_space(self) -> Box:
+        return Box.create(
+            np.asarray(self._act_space.low, np.float32),
+            np.asarray(self._act_space.high, np.float32),
+        )
+
+    @property
+    def max_episode_steps(self) -> int:
+        return 1000
+
+    # ------------------------------------------------------ host callbacks
+    def _host_reset(self, seeds: np.ndarray) -> np.ndarray:
+        obs = [env.reset(seed=int(s))[0] for env, s in zip(self._envs, seeds)]
+        return np.stack(obs).astype(np.float32)
+
+    def _host_step(self, actions: np.ndarray):
+        b = self._num_envs
+        obs = np.empty((b, self._obs_dim), np.float32)
+        final_obs = np.empty((b, self._obs_dim), np.float32)
+        reward = np.empty(b, np.float32)
+        cost = np.empty(b, np.float32)
+        term = np.empty(b, np.bool_)
+        trunc = np.empty(b, np.bool_)
+        for i, env in enumerate(self._envs):
+            o, r, te, tr, info = env.step(np.asarray(actions[i], np.float64))
+            vel = abs(float(info.get('x_velocity', 0.0)))
+            reward[i] = r
+            cost[i] = float(vel > self._velocity_limit)
+            term[i] = te
+            trunc[i] = tr
+            final_obs[i] = o
+            if te or tr:
+                o, _ = env.reset()
+            obs[i] = o
+        return obs, reward, cost, term, trunc, final_obs
+
+    # ------------------------------------------------------- CMDP interface
+    def reset(self, key: Array):
+        seeds = jax.random.randint(key, (self._num_envs,), 0, 2**31 - 1)
+        obs = io_callback(
+            self._host_reset,
+            jax.ShapeDtypeStruct((self._num_envs, self._obs_dim), jnp.float32),
+            seeds,
+            ordered=True,
+        )
+        # device-side state is a pure ordering token; the host owns the sim
+        return jnp.zeros(()), obs
+
+    def step(self, state: Array, action: Array, key: Array) -> Tuple[Array, TimeStep]:
+        del key
+        b, d = self._num_envs, self._obs_dim
+        out_shapes = (
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.bool_),
+            jax.ShapeDtypeStruct((b,), jnp.bool_),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+        )
+        obs, reward, cost, term, trunc, final_obs = io_callback(
+            self._host_step, out_shapes, action, ordered=True
+        )
+        ts = TimeStep(
+            obs=obs, reward=reward, cost=cost, terminated=term, truncated=trunc,
+            final_obs=final_obs,
+        )
+        return state + 1.0, ts
+
+
+__all__ = ['HostMujocoVelocityEnv']

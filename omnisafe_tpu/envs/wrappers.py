@@ -117,6 +117,8 @@ class Vectorize(Wrapper):
     def num_envs(self) -> int:
         return self._num_envs
 
+    is_vectorized = True
+
     def reset(self, key: Array):
         keys = jax.random.split(key, self._num_envs)
         return self._vreset(keys)

@@ -120,13 +120,16 @@ def test_every_registered_env_contract(env_id):
     """Contract sweep over the entire registry (reference analogue:
     tests/test_env.py loops support lists)."""
     env = make(env_id)
+    batch = (1,) if env.is_vectorized else ()
     state, obs = env.reset(jax.random.key(0))
-    assert obs.shape == env.observation_space.shape
+    assert obs.shape == batch + env.observation_space.shape
     act = env.action_space.sample(jax.random.key(1))
+    if env.is_vectorized:
+        act = act[None]
     state, ts = env.step(state, act, jax.random.key(2))
-    assert ts.obs.shape == env.observation_space.shape
-    assert ts.final_obs.shape == env.observation_space.shape
-    assert np.isfinite(float(ts.reward)) and np.isfinite(float(ts.cost))
+    assert ts.obs.shape == batch + env.observation_space.shape
+    assert ts.final_obs.shape == batch + env.observation_space.shape
+    assert np.all(np.isfinite(np.asarray(ts.reward))) and np.all(np.isfinite(np.asarray(ts.cost)))
     assert env.max_episode_steps > 0
 
 
