@@ -81,6 +81,7 @@ class CRABS(SAC):
             hidden_size=int(self._cfgs.dynamics_cfgs.hidden_size),
             batch_size=int(self._cfgs.dynamics_cfgs.batch_size),
             max_epoch=int(self._cfgs.dynamics_cfgs.max_epoch),
+            gated=True,  # reference: transition_model_cfgs.type = GatedTransitionModel
         )
         barrier_net = MLP(
             hidden_sizes=tuple(crabs.barrier_hidden_sizes),

@@ -82,6 +82,8 @@ class NavState:
     vases: Array      # (V, 2) padded
     buttons: Array    # (B, 2)
     target_button: Array  # () int32
+    box_pos: Array    # (2,) push-task box (unused elsewhere)
+    box_vel: Array    # (2,)
     last_dist: Array  # () previous goal distance for delta reward
     key: Array
 
@@ -119,6 +121,8 @@ class _NavigationEnv(CMDP):
             dim += 2 * _LIDAR_BINS        # hazards + vases lidar
         elif self._task == 'Button':
             dim += 3 * _LIDAR_BINS        # hazards + vases + buttons lidar
+        elif self._task == 'Push':
+            dim += 3 * _LIDAR_BINS        # hazards + vases + box lidar
         elif self._task == 'Circle':
             dim += 0                       # only ego + "goal" (circle center) lidar
         return Box.create(-jnp.inf, jnp.inf, (dim,))
@@ -155,7 +159,7 @@ class _NavigationEnv(CMDP):
         ])
         goal_lidar = _lidar(_rotate(to_goal[None, :], state.theta), jnp.ones(1))
         parts = [ego, goal_lidar]
-        if self._task in ('Goal', 'Button'):
+        if self._task in ('Goal', 'Button', 'Push'):
             hvalid = (jnp.arange(state.hazards.shape[0]) < self._num_hazards).astype(jnp.float32)
             parts.append(_lidar(_rotate(state.hazards - state.pos, state.theta), hvalid))
             vvalid = (jnp.arange(state.vases.shape[0]) < self._num_vases).astype(jnp.float32)
@@ -163,6 +167,10 @@ class _NavigationEnv(CMDP):
         if self._task == 'Button':
             parts.append(
                 _lidar(_rotate(state.buttons - state.pos, state.theta), jnp.ones(self._NUM_BUTTONS))
+            )
+        if self._task == 'Push':
+            parts.append(
+                _lidar(_rotate(state.box_pos[None, :] - state.pos, state.theta), jnp.ones(1))
             )
         return jnp.concatenate(parts)
 
@@ -180,7 +188,7 @@ class _NavigationEnv(CMDP):
 
     # -- CMDP interface --------------------------------------------------
     def reset(self, key: Array):
-        layout_key, pos_key, theta_key, state_key = jax.random.split(key, 4)
+        layout_key, pos_key, theta_key, box_key, state_key = jax.random.split(key, 5)
         goal, hazards, vases, buttons = self._sample_layout(layout_key)
         pos = jax.random.uniform(pos_key, (2,), minval=-_ARENA + 0.3, maxval=_ARENA - 0.3)
         theta = jax.random.uniform(theta_key, (), minval=0.0, maxval=2.0 * jnp.pi)
@@ -191,6 +199,12 @@ class _NavigationEnv(CMDP):
             target = jnp.zeros((), jnp.int32)
         if self._task == 'Circle':
             goal = jnp.zeros(2)  # circle center
+        box_pos = jax.random.uniform(box_key, (2,), minval=-_ARENA + 0.5, maxval=_ARENA - 0.5)
+        last_dist = (
+            jnp.linalg.norm(goal - box_pos)
+            if self._task == 'Push'
+            else jnp.linalg.norm(goal - pos)
+        )
         state = NavState(
             pos=pos,
             vel=jnp.zeros(2),
@@ -200,7 +214,9 @@ class _NavigationEnv(CMDP):
             vases=vases,
             buttons=buttons,
             target_button=target,
-            last_dist=jnp.linalg.norm(goal - pos),
+            box_pos=box_pos,
+            box_vel=jnp.zeros(2),
+            last_dist=last_dist,
             key=state_key,
         )
         return state, self._obs(state)
@@ -208,6 +224,20 @@ class _NavigationEnv(CMDP):
     def step(self, state: NavState, action: Array, key: Array) -> Tuple[NavState, TimeStep]:
         pos, vel, theta = self._dynamics(state, action)
         dist = jnp.linalg.norm(state.goal - pos)
+        box_pos, box_vel = state.box_pos, state.box_vel
+        if self._task == 'Push':
+            # contact pushing: inside the contact radius the box accelerates
+            # away from the robot proportionally to the overlap
+            to_box = box_pos - pos
+            box_dist = jnp.linalg.norm(to_box)
+            contact = box_dist < 0.25
+            push_dir = to_box / (box_dist + 1e-6)
+            box_vel = box_vel + _DT * jnp.where(
+                contact, 8.0 * (0.25 - box_dist) * push_dir, 0.0
+            )
+            box_vel = box_vel * (1.0 - 3.0 * _DT)  # ground friction
+            box_pos = jnp.clip(box_pos + _DT * box_vel, -_ARENA, _ARENA)
+            dist = jnp.linalg.norm(state.goal - box_pos)
 
         if self._task == 'Circle':
             # Reward circulating the center at radius ~1.0; cost outside |x| wall.
@@ -247,10 +277,12 @@ class _NavigationEnv(CMDP):
             else:
                 target = state.target_button
                 new_goal = jnp.where(reached, fresh_goal, state.goal)
-            dist = jnp.where(reached, jnp.linalg.norm(new_goal - pos), dist)
+            anchor = box_pos if self._task == 'Push' else pos
+            dist = jnp.where(reached, jnp.linalg.norm(new_goal - anchor), dist)
 
         new_state = state.replace(
-            pos=pos, vel=vel, theta=theta, goal=new_goal, target_button=target, last_dist=dist
+            pos=pos, vel=vel, theta=theta, goal=new_goal, target_button=target,
+            box_pos=box_pos, box_vel=box_vel, last_dist=dist,
         )
         obs = self._obs(new_state)
         ts = TimeStep(
@@ -267,7 +299,7 @@ class _NavigationEnv(CMDP):
 def _nav_ids():
     ids = []
     for robot in _ROBOTS:
-        for task in ('Goal', 'Button', 'Circle'):
+        for task in ('Goal', 'Button', 'Push', 'Circle'):
             for level in (0, 1, 2):
                 ids.append(f'Safety{robot}{task}{level}-v0')
     return ids

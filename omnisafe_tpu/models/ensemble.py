@@ -41,6 +41,7 @@ class EnsembleModel(nn.Module):
     reward_size: int
     num_ensemble: int
     hidden_size: int = 200
+    gated: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array]:
@@ -54,7 +55,8 @@ class EnsembleModel(nn.Module):
             variable_axes={'params': 0},
             split_rngs={'params': True},
         )
-        raw = Vmapped(hidden_size=self.hidden_size, out_dim=out_dim, name='core')(x)
+        raw = Vmapped(hidden_size=self.hidden_size, out_dim=out_dim,
+                      gated=self.gated, name='core')(x)
         mean, logvar_raw = jnp.split(raw, 2, axis=-1)
         max_logvar = self.param('max_logvar', nn.initializers.constant(0.5), (out_dim,))
         min_logvar = self.param('min_logvar', nn.initializers.constant(-10.0), (out_dim,))
@@ -66,12 +68,19 @@ class EnsembleModel(nn.Module):
 class _EnsembleCore(nn.Module):
     hidden_size: int
     out_dim: int
+    gated: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         for i in range(4):
-            x = nn.Dense(self.hidden_size, name=f'dense_{i}')(x)
-            x = nn.swish(x)
+            h = nn.Dense(self.hidden_size, name=f'dense_{i}')(x)
+            h = nn.swish(h)
+            if self.gated:
+                # multiplicative gating per hidden layer — the CRABS
+                # GatedTransitionModel (reference: crabs/models.py:30-321)
+                gate = jax.nn.sigmoid(nn.Dense(self.hidden_size, name=f'gate_{i}')(x))
+                h = h * gate
+            x = h
         return nn.Dense(2 * self.out_dim, name='head')(x)
 
 
@@ -103,6 +112,7 @@ class DynamicsEnsemble:
         use_decay: bool = True,
         batch_size: int = 256,
         max_epoch: int = 5,
+        gated: bool = False,
     ) -> None:
         self.state_dim = state_dim
         self.action_dim = action_dim
@@ -119,6 +129,7 @@ class DynamicsEnsemble:
             reward_size=self.reward_size,
             num_ensemble=num_ensemble,
             hidden_size=hidden_size,
+            gated=gated,
         )
         # torch's Adam + manual use_decay weight regularization -> adamw-ish
         self.tx = optax.adamw(lr, weight_decay=7.5e-5 if use_decay else 0.0)
