@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from omnisafe_tpu.ops.pallas_scan import linear_reverse_scan
+
 Array = jax.Array
 
 
@@ -68,50 +70,39 @@ def _next_values(traj: Trajectory, last_value: Array, values: Array, final_value
 
 
 def _gae(rewards, values, next_values, done, gamma, lam):
+    """GAE as the linear recurrence adv[t] = delta[t] + cont[t] * adv[t+1]
+    (Pallas kernel on TPU, associative scan elsewhere)."""
     deltas = rewards + gamma * next_values - values
     cont = (1.0 - done.astype(rewards.dtype)) * gamma * lam
-
-    def step(carry, inp):
-        delta, c = inp
-        carry = delta + c * carry
-        return carry, carry
-
-    _, adv = jax.lax.scan(step, jnp.zeros_like(rewards[0]), (deltas, cont), reverse=True)
-    return adv
+    return linear_reverse_scan(cont, deltas)
 
 
 def _rtg(rewards, next_values, done, gamma, last_value):
-    """Rewards-to-go with bootstrap folded in at boundaries and the epoch cut."""
-
-    def step(carry, inp):
-        r, nv, d = inp
-        carry = r + gamma * jnp.where(d, nv, carry)
-        return carry, carry
-
-    _, ret = jax.lax.scan(
-        step, last_value, (rewards, next_values, done), reverse=True
-    )
-    return ret
+    """Rewards-to-go with bootstrap folded in at boundaries and the epoch cut:
+    ret[t] = r[t] + gamma * (done[t] ? nv[t] : ret[t+1])."""
+    d = done.astype(rewards.dtype)
+    coeff = gamma * (1.0 - d)
+    bias = rewards + gamma * d * next_values
+    return linear_reverse_scan(coeff, bias, last_value)
 
 
 def _vtrace(rewards, values, next_values, done, gamma, rhos, rho_bar=1.0, c_bar=1.0):
     """V-trace targets/advantages (reference: onpolicy_buffer.py:338-405),
     generalized with done-boundary resets: the recursion's ``last_v_s`` carry
-    restarts from the bootstrap value across episode edges."""
+    restarts from the bootstrap value across episode edges.
+
+    The recursion v_s[t] = v[t] + delta[t] + gamma*c[t]*(last_v_s - nv[t]),
+    last_v_s = done[t] ? nv[t] : v_s[t+1], is linear in v_s[t+1] with
+    coefficient gamma*c[t]*(1-done[t])."""
     clip_rhos = jnp.minimum(rhos, rho_bar)
     clip_cs = jnp.minimum(rhos, c_bar)
     deltas = clip_rhos * (rewards + gamma * next_values - values)
 
-    def step(carry, inp):
-        delta, v, nv, c, d = inp
-        last_v_s = jnp.where(d, nv, carry)
-        v_s = v + delta + gamma * c * (last_v_s - nv)
-        return v_s, v_s
+    d = done.astype(rewards.dtype)
+    coeff = gamma * clip_cs * (1.0 - d)
+    bias = values + deltas - coeff * next_values
+    v_s = linear_reverse_scan(coeff, bias, next_values[-1])
 
-    last = next_values[-1]
-    _, v_s = jax.lax.scan(
-        step, last, (deltas, values, next_values, clip_cs, done), reverse=True
-    )
     v_s_next = jnp.concatenate([v_s[1:], next_values[-1:]], axis=0)
     v_s_next = jnp.where(done, next_values, v_s_next)
     adv = clip_rhos * (rewards + gamma * v_s_next - values)

@@ -28,17 +28,13 @@ def discount_cumsum(x: Array, discount: float) -> Array:
 
     ``y[t] = sum_k discount^k x[t + k]``; equivalent to the reference's
     scipy-style backward recursion (reference: omnisafe/utils/math.py:59-82)
-    but expressed as a reverse ``lax.scan`` so it fuses into the surrounding
-    XLA program and handles a trailing batch dimension for free.
+    but expressed through :func:`linear_reverse_scan` — a single-pass Pallas
+    kernel on TPU, a log-depth associative scan elsewhere — and handles a
+    trailing batch dimension for free.
     """
+    from omnisafe_tpu.ops.pallas_scan import linear_reverse_scan
 
-    def step(carry, xt):
-        carry = xt + discount * carry
-        return carry, carry
-
-    init = jnp.zeros_like(x[0])
-    _, out = jax.lax.scan(step, init, x, reverse=True)
-    return out
+    return linear_reverse_scan(jnp.full_like(x, discount), x)
 
 
 def masked_discount_cumsum(x: Array, discount: float, reset: Array) -> Array:
@@ -51,16 +47,10 @@ def masked_discount_cumsum(x: Array, discount: float, reset: Array) -> Array:
     batched scan over a ``(T, B)`` rollout with done masks.
     """
 
+    from omnisafe_tpu.ops.pallas_scan import linear_reverse_scan
+
     cont = 1.0 - reset.astype(x.dtype)
-
-    def step(carry, inp):
-        xt, ct = inp
-        carry = xt + discount * ct * carry
-        return carry, carry
-
-    init = jnp.zeros_like(x[0])
-    _, out = jax.lax.scan(step, init, (x, cont), reverse=True)
-    return out
+    return linear_reverse_scan(discount * cont, x)
 
 
 def conjugate_gradients(
