@@ -3,7 +3,10 @@
 
 from omnisafe_tpu.envs import (  # noqa: F401  (registration)
     classic_control,
+    host_gym,
     host_mujoco,
+    isaac_gym,
+    meta_drive,
     navigation,
     simple_env,
     velocity,

@@ -158,6 +158,19 @@ def env_register(cls: Type[CMDP]) -> Type[CMDP]:
     return cls
 
 
+_UNAVAILABLE: Dict[str, str] = {}
+
+
+def register_unavailable(env_ids: List[str], reason: str) -> None:
+    """Record ids whose backend exists but whose third-party dependency is
+    missing from this installation (mirrors the reference's optional
+    MetaDrive/Isaac Gym backends, omnisafe/envs/meta_drive_env.py:67-69),
+    so ``make`` can explain rather than claim the id is unknown."""
+    for env_id in env_ids:
+        if env_id not in _ENV_REGISTRY:
+            _UNAVAILABLE[env_id] = reason
+
+
 def support_envs() -> List[str]:
     return sorted(_ENV_REGISTRY)
 
@@ -166,8 +179,20 @@ def make(env_id: str, **kwargs: Any) -> CMDP:
     """Instantiate the registered env class for ``env_id``
     (reference: omnisafe/envs/core.py:363-421)."""
     if env_id not in _ENV_REGISTRY:
+        if env_id in _UNAVAILABLE:
+            raise NotImplementedError(
+                f'{env_id} is supported but unavailable here: {_UNAVAILABLE[env_id]}'
+            )
         raise NotImplementedError(f'{env_id} is not registered; known: {support_envs()}')
     return _ENV_REGISTRY[env_id](env_id, **kwargs)
 
 
-__all__ = ['TimeStep', 'CMDP', 'Wrapper', 'env_register', 'support_envs', 'make']
+__all__ = [
+    'TimeStep',
+    'CMDP',
+    'Wrapper',
+    'env_register',
+    'register_unavailable',
+    'support_envs',
+    'make',
+]

@@ -42,9 +42,10 @@ _DT = 0.05
 
 _ROBOTS = {
     # accel gain, turn gain, drag — Point steers fast, Car is heavier,
-    # Doggo sluggish, Racecar fast but wide turns.
+    # Ant/Doggo sluggish quadrupeds, Racecar fast but wide turns.
     'Point': (2.0, 4.0, 1.5),
     'Car': (1.2, 2.5, 1.0),
+    'Ant': (1.0, 2.2, 1.8),
     'Doggo': (0.8, 2.0, 2.0),
     'Racecar': (3.0, 1.5, 0.8),
 }
@@ -307,7 +308,7 @@ def _nav_ids():
 
 @env_register
 class SafetyNavigationEnv(_NavigationEnv):
-    """Goal/Button/Circle × Point/Car/Doggo/Racecar × levels 0-2
+    """Goal/Button/Push/Circle × Point/Car/Ant/Doggo/Racecar × levels 0-2
     (id surface mirrors reference: omnisafe/envs/safety_gymnasium_env.py:55-125)."""
 
     _support_envs = _nav_ids()

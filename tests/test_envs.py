@@ -140,3 +140,28 @@ def test_navigation_hazard_cost():
     state = state.replace(pos=state.hazards[0])
     state, ts = env.step(state, jnp.zeros(2), jax.random.key(1))
     assert float(ts.cost) == 1.0
+
+
+def test_unavailable_optional_backend_message():
+    """MetaDrive / Isaac Gym ids degrade to a helpful error when their
+    third-party simulator is not installed (reference analogue: optional
+    import of metadrive/isaacgym backends)."""
+    try:
+        import metadrive  # noqa: F401
+
+        pytest.skip('metadrive installed; backend registers normally')
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match='metadrive'):
+        make('SafeMetaDrive')
+    with pytest.raises(NotImplementedError, match='isaacgym'):
+        make('ShadowHandOverSafeFinger')
+
+
+def test_ant_navigation_registered():
+    """Ant completes the 5-agent roster (reference:
+    safety_gymnasium_env.py:80-91)."""
+    for task in ('Goal', 'Button', 'Push', 'Circle'):
+        for level in (0, 1, 2):
+            assert f'SafetyAnt{task}{level}-v0' in support_envs()
+    assert 'SafetyAntGoal1-v0-modelbased' in support_envs()
