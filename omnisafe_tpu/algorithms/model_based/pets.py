@@ -269,11 +269,17 @@ class PETS(BaseAlgo):
         """Per-epoch hook (CAP's λ ascent lives here, reference: cap_pets.py:149-156)."""
 
     # ------------------------------------------------------------- training
+    def restore(self, checkpoint_path: str) -> None:
+        """Arm mid-training resume: dynamics-ensemble/planner/policy state and
+        step counters restore; the transition buffer and env carry restart
+        fresh (the reference can only save, omnisafe/common/logger.py:175-194)."""
+        self._restore_path = checkpoint_path
+
     def _init_train_state(self) -> ModelBasedTrainState:
         self._key, dyn_key, env_key = jax.random.split(self._key, 3)
         env_state, obs = self._env.reset(env_key)
         zeros = jnp.zeros((1,))
-        return ModelBasedTrainState(
+        state = ModelBasedTrainState(
             dynamics=self._dynamics.init(dyn_key),
             buffer=self._buffer.init(),
             plan_state=self._planner.init(),
@@ -283,6 +289,18 @@ class PETS(BaseAlgo):
             global_step=jnp.zeros((), jnp.int32),
             key=self._key,
         )
+        restore_path = getattr(self, '_restore_path', None)
+        if restore_path:
+            from omnisafe_tpu.utils.checkpoint import (  # pylint: disable=import-outside-toplevel
+                load_checkpoint,
+                restore_resume,
+            )
+
+            payload = load_checkpoint(restore_path)
+            if 'resume' not in payload:
+                raise KeyError(f'checkpoint {restore_path} has no resume payload')
+            state = restore_resume(state, payload['resume'])
+        return state
 
     def learn(self) -> Tuple[float, float, float]:
         """(reference: pets.py:236-290)."""
@@ -349,8 +367,11 @@ class PETS(BaseAlgo):
                     'Time/FPS': self._steps_per_epoch / max(time.time() - epoch_start, 1e-9),
                 }
             )
+            from omnisafe_tpu.utils.checkpoint import resume_state_dict  # pylint: disable=import-outside-toplevel
+
             self._logger.setup_saver({
                 'dynamics': jax.device_get(state.dynamics.params),
+                'resume': resume_state_dict(state, exclude=('buffer', 'rollout')),
                 'config': self._cfgs.todict(),
             })
             if (epoch + 1) % int(self._cfgs.logger_cfgs.save_model_freq) == 0:

@@ -366,10 +366,18 @@ class DDPG(BaseAlgo):
         )
 
     # ------------------------------------------------------------- training
+    def restore(self, checkpoint_path: str) -> None:
+        """Arm mid-training resume from a saved checkpoint: model/optimizer/
+        multiplier state and step counters are restored; the replay ring and
+        the env rollout carry restart fresh (they are transient).  The
+        reference's checkpoints are save-only (reference:
+        omnisafe/common/logger.py:175-194)."""
+        self._restore_path = checkpoint_path
+
     def _init_train_state(self) -> OffPolicyTrainState:
         self._key, model_key, env_key = jax.random.split(self._key, 3)
         params = self._actor_critic.init(model_key)
-        return OffPolicyTrainState(
+        state = OffPolicyTrainState(
             params=params,
             actor_opt=self._actor_tx.init(params.actor),
             reward_critic_opt=self._reward_critic_tx.init(params.reward_critic),
@@ -382,6 +390,22 @@ class DDPG(BaseAlgo):
             global_step=jnp.zeros((), jnp.int32),
             key=self._key,
         )
+        restore_path = getattr(self, '_restore_path', None)
+        if restore_path:
+            from omnisafe_tpu.utils.checkpoint import (  # pylint: disable=import-outside-toplevel
+                load_checkpoint,
+                restore_into,
+                restore_resume,
+            )
+
+            payload = load_checkpoint(restore_path)
+            if 'resume' in payload:
+                state = restore_resume(state, payload['resume'])
+            elif 'params' in payload:
+                state = state.replace(params=restore_into(state.params, payload['params']))
+            else:
+                raise KeyError(f'checkpoint {restore_path} has no resume/params payload')
+        return state
 
     def _store_episode_metrics(self, ep_metrics, prefix: str = 'Metrics/Ep') -> None:
         done = np.asarray(ep_metrics.done).reshape(-1)
@@ -452,8 +476,13 @@ class DDPG(BaseAlgo):
                     'Time/FPS': self._steps_per_epoch / max(time.time() - epoch_start, 1e-9),
                 }
             )
-            self._logger.setup_saver({'params': jax.device_get(state.params),
-                                      'config': self._cfgs.todict()})
+            from omnisafe_tpu.utils.checkpoint import resume_state_dict  # pylint: disable=import-outside-toplevel
+
+            self._logger.setup_saver({
+                'params': jax.device_get(state.params),
+                'resume': resume_state_dict(state, exclude=('buffer', 'rollout')),
+                'config': self._cfgs.todict(),
+            })
             if (epoch + 1) % int(self._cfgs.logger_cfgs.save_model_freq) == 0:
                 self._logger.save()
             self._logger.dump_tabular(verbose=False)

@@ -80,11 +80,27 @@ class BaseOffline(BaseAlgo):
     def _predict(self, state: Any, obs: Array, key: Array) -> Array:
         """Deterministic-ish policy for evaluation."""
 
+    def restore(self, checkpoint_path: str) -> None:
+        """Arm mid-training resume from a saved full-state checkpoint (the
+        reference is save-only, omnisafe/common/logger.py:175-194)."""
+        self._restore_path = checkpoint_path
+
     # ------------------------------------------------------------ training
     def learn(self) -> Tuple[float, float, float]:
         """(reference: offline/base.py:95-150)."""
         start = time.time()
         state = self._init_state()
+        restore_path = getattr(self, '_restore_path', None)
+        if restore_path:
+            from omnisafe_tpu.utils.checkpoint import (  # pylint: disable=import-outside-toplevel
+                load_checkpoint,
+                restore_into,
+            )
+
+            payload = load_checkpoint(restore_path)
+            if 'state' not in payload:
+                raise KeyError(f'checkpoint {restore_path} has no state payload')
+            state = restore_into(state, payload['state'])
         steps_per_epoch = int(self._cfgs.algo_cfgs.steps_per_epoch)
         epochs = int(self._cfgs.train_cfgs.total_steps) // steps_per_epoch
 

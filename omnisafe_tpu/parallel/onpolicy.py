@@ -17,7 +17,7 @@ from typing import Any, Tuple
 import jax
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from omnisafe_tpu.adapter.onpolicy import EpisodeMetrics, RolloutCarry
 from omnisafe_tpu.algorithms.on_policy.policy_gradient import OnPolicyTrainState
@@ -100,7 +100,7 @@ def make_distributed_programs(algo, mesh: Mesh, example_state: OnPolicyTrainStat
             mesh=mesh,
             in_specs=(state_spec,),
             out_specs=(state_spec, batch_spec, ep_spec, metrics_spec),
-            check_rep=False,
+            check_vma=False,
         )
     )
     update = jax.jit(
@@ -109,7 +109,7 @@ def make_distributed_programs(algo, mesh: Mesh, example_state: OnPolicyTrainStat
             mesh=mesh,
             in_specs=(state_spec, batch_spec, P(), P()),
             out_specs=(state_spec, metrics_spec),
-            check_rep=False,
+            check_vma=False,
         )
     )
     return rollout, update

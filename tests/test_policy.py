@@ -177,6 +177,25 @@ def test_offline_core_smoke(algo, offline_dataset):
     assert np.isfinite(ret) and np.isfinite(cost)
 
 
+def test_offline_resume(offline_dataset, tmp_path):
+    """Offline family resumes from the saved full-state checkpoint."""
+    import glob as _glob
+    import os as _os
+
+    cfg = _offline_cfg('VAEBC', offline_dataset)
+    cfg['logger_cfgs'] = {'use_tensorboard': False, 'log_dir': str(tmp_path),
+                          'save_model_freq': 1}
+    agent = omnisafe_tpu.Agent('VAEBC', 'Test-v0', custom_cfgs=cfg)
+    agent.learn()
+    run_dir = agent.agent._logger.log_dir
+    ckpt = sorted(_glob.glob(_os.path.join(run_dir, 'save', '*.msgpack')))[0]
+
+    agent2 = omnisafe_tpu.Agent('VAEBC', 'Test-v0', custom_cfgs=cfg)
+    agent2.agent.restore(ckpt)
+    ret, cost, length = agent2.learn()
+    assert np.isfinite(ret) and np.isfinite(cost)
+
+
 @pytest.mark.full
 @pytest.mark.parametrize(
     'algo', [a for a in omnisafe_tpu.ALGORITHMS['offline'] if a not in CORE_OFFLINE]

