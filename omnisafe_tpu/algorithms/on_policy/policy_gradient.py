@@ -452,6 +452,8 @@ class PolicyGradient(BaseAlgo):
         return state.replace(params=state.params.replace(actor=actor))
 
     def _store_episode_metrics(self, ep_metrics) -> None:
+        # one batched transfer instead of a round trip per field
+        ep_metrics = jax.device_get(ep_metrics)
         done = np.asarray(ep_metrics.done).reshape(-1)
         if done.any():
             self._logger.store(
@@ -477,8 +479,16 @@ class PolicyGradient(BaseAlgo):
             rollout_jit, update_jit = make_distributed_programs(self, mesh, state)
         else:
             rollout_jit = jax.jit(self._rollout_program)
-            update_jit = jax.jit(self._update_program)
-        self._logger.setup_saver({'params': lambda: state.params, 'config': self._cfgs.todict()})
+            # the assembled batch is consumed by the update and never reused;
+            # donating it lets XLA recycle the epoch's largest buffer in place
+            update_jit = jax.jit(self._update_program, donate_argnums=1)
+        # lazy closures: ``state`` is rebound each epoch and only materialized
+        # (device_get) when a checkpoint is actually written
+        self._logger.setup_saver({
+            'params': lambda: state.params,
+            'train_state': lambda: state,
+            'config': self._cfgs.todict(),
+        })
 
         for epoch in range(self._epochs):
             epoch_start = time.time()
@@ -495,7 +505,8 @@ class PolicyGradient(BaseAlgo):
 
             update_start = time.time()
             state, metrics = update_jit(state, batch, jnp.asarray(Jc), jnp.asarray(lr))
-            jax.block_until_ready(metrics['Train/KL'])
+            # single batched device->host transfer for all scalar metrics
+            metrics, value_stats = jax.device_get((metrics, value_stats))
             update_time = time.time() - update_start
 
             host_metrics = {k: float(v) for k, v in metrics.items()}
@@ -519,11 +530,6 @@ class PolicyGradient(BaseAlgo):
             if self._cfgs.algo_cfgs.use_cost:
                 self._logger.store(**{'Value/cost': float(value_stats['Value/cost'])})
 
-            self._logger.setup_saver({
-                'params': jax.device_get(state.params),
-                'train_state': jax.device_get(state),
-                'config': self._cfgs.todict(),
-            })
             if (epoch + 1) % int(self._cfgs.logger_cfgs.save_model_freq) == 0:
                 self._logger.save()
             self._logger.dump_tabular(verbose=False)
