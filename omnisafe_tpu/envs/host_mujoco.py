@@ -30,13 +30,16 @@ Array = jax.Array
 
 # Safety-Gymnasium velocity-constraint thresholds (50% of the unconstrained
 # agent's top speed, as published by safety_gymnasium's velocity tasks).
+# v4 Gymnasium MuJoCo envs match the dynamics vintage the reference's
+# benchmark tables were produced on (safety_gymnasium subclasses the v4
+# envs); Ant's constraint is on planar speed, the others on x-velocity.
 _SPECS = {
-    'Ant': ('Ant-v5', 2.6222),
-    'HalfCheetah': ('HalfCheetah-v5', 3.2096),
-    'Hopper': ('Hopper-v5', 0.7402),
-    'Walker2d': ('Walker2d-v5', 2.3415),
-    'Swimmer': ('Swimmer-v5', 0.24455),
-    'Humanoid': ('Humanoid-v5', 1.4149),
+    'Ant': ('Ant-v4', 2.6222),
+    'HalfCheetah': ('HalfCheetah-v4', 3.2096),
+    'Hopper': ('Hopper-v4', 0.7402),
+    'Walker2d': ('Walker2d-v4', 2.3415),
+    'Swimmer': ('Swimmer-v4', 0.24455),
+    'Humanoid': ('Humanoid-v4', 1.4149),
 }
 
 
@@ -55,6 +58,7 @@ class HostMujocoVelocityEnv(CMDP):
 
         robot = env_id[len('Safety'):-len('Velocity-v1-mujoco')]
         gym_id, self._velocity_limit = _SPECS[robot]
+        self._planar_speed = robot == 'Ant'
         self._num_envs = num_envs
         self._envs = [gymnasium.make(gym_id) for _ in range(num_envs)]
         self._obs_dim = int(self._envs[0].observation_space.shape[0])
@@ -94,7 +98,12 @@ class HostMujocoVelocityEnv(CMDP):
         trunc = np.empty(b, np.bool_)
         for i, env in enumerate(self._envs):
             o, r, te, tr, info = env.step(np.asarray(actions[i], np.float64))
-            vel = abs(float(info.get('x_velocity', 0.0)))
+            # safety_gymnasium velocity tasks: cost = 1[velocity > threshold],
+            # velocity = hypot(vx, vy) for Ant, raw x_velocity otherwise.
+            if self._planar_speed:
+                vel = float(np.hypot(info.get('x_velocity', 0.0), info.get('y_velocity', 0.0)))
+            else:
+                vel = float(info.get('x_velocity', 0.0))
             reward[i] = r
             cost[i] = float(vel > self._velocity_limit)
             term[i] = te

@@ -39,3 +39,68 @@ def test_all_default_configs_load_and_validate(path):
 def test_missing_config_raises():
     with pytest.raises(FileNotFoundError):
         get_default_kwargs_yaml('Nonexistent', 'Test-v0', 'on-policy')
+
+
+# --- type/range validation (reference: omnisafe/utils/config.py:265-409) ---
+
+from omnisafe_tpu.utils.config import ConfigError  # noqa: E402
+
+
+def _violation(family='on-policy', algo='PPOLag', **overrides):
+    cfgs = get_default_kwargs_yaml(algo, 'Test-v0', family)
+    cfgs.recursive_update(overrides, allow_new=True)
+    return cfgs, family
+
+
+@pytest.mark.parametrize(
+    'overrides, family',
+    [
+        # wrong types
+        ({'algo_cfgs': {'update_iters': 2.5}}, 'on-policy'),
+        ({'algo_cfgs': {'gamma': 'high'}}, 'on-policy'),
+        ({'algo_cfgs': {'obs_normalize': 'yes'}}, 'on-policy'),
+        ({'algo_cfgs': {'steps_per_epoch': True}}, 'on-policy'),
+        ({'train_cfgs': {'total_steps': 1e6}}, 'on-policy'),  # float, must be int
+        ({'logger_cfgs': {'save_model_freq': 'often'}}, 'on-policy'),
+        # out of range
+        ({'algo_cfgs': {'gamma': 1.5}}, 'on-policy'),
+        ({'algo_cfgs': {'lam': -0.1}}, 'on-policy'),
+        ({'algo_cfgs': {'entropy_coef': 2.0}}, 'on-policy'),
+        ({'algo_cfgs': {'update_iters': 0}}, 'on-policy'),
+        ({'train_cfgs': {'vector_env_nums': -4}}, 'on-policy'),
+        ({'lagrange_cfgs': {'lambda_lr': 0.0}}, 'on-policy'),
+        ({'lagrange_cfgs': {'cost_limit': -25.0}}, 'on-policy'),
+        ({'algo_cfgs': {'adv_estimation_method': 'monte-carlo'}}, 'on-policy'),
+        # model heads
+        ({'model_cfgs': {'actor': {'hidden_sizes': [64, -64]}}}, 'on-policy'),
+        ({'model_cfgs': {'actor': {'activation': 'swishh'}}}, 'on-policy'),
+        ({'model_cfgs': {'actor_type': 'transformer'}}, 'on-policy'),
+    ],
+)
+def test_invalid_config_value_raises(overrides, family):
+    cfgs, family = _violation(family=family, **overrides)
+    with pytest.raises(ConfigError):
+        check_all_configs(cfgs, family)
+
+
+def test_divisibility_violation_raises():
+    cfgs = get_default_kwargs_yaml('PPO', 'Test-v0', 'on-policy')
+    cfgs.algo_cfgs.steps_per_epoch = 100
+    cfgs.train_cfgs.vector_env_nums = 3
+    with pytest.raises(ConfigError):
+        check_all_configs(cfgs, 'on-policy')
+
+
+def test_off_policy_parallel_violation_raises():
+    cfgs = get_default_kwargs_yaml('SAC', 'Test-v0', 'off-policy')
+    cfgs.train_cfgs.recursive_update({'parallel': 2}, allow_new=True)
+    with pytest.raises(ConfigError):
+        check_all_configs(cfgs, 'off-policy')
+
+
+def test_int_accepted_where_float_expected():
+    # YAML loads `entropy_coef: 0` as int; validation must accept it.
+    cfgs = get_default_kwargs_yaml('PPO', 'Test-v0', 'on-policy')
+    cfgs.algo_cfgs.entropy_coef = 0
+    cfgs.algo_cfgs.gamma = 1
+    check_all_configs(cfgs, 'on-policy')
