@@ -1,0 +1,93 @@
+"""Benchmark-parity training runs on physics-exact (host MuJoCo) envs.
+
+Reproduces the reference's published on-policy benchmark protocol
+(reference: benchmarks/on-policy/README.md:99-110 — 1e7 steps, default
+hyperparameters, final performance averaged across seeds) on the
+``-mujoco`` host-backed velocity envs, which step the same Gymnasium
+MuJoCo v4 physics the reference's safety_gymnasium velocity tasks subclass.
+
+Usage:  python benchmarks/parity_run.py --algo PPOLag --seed 0 \
+            [--env SafetyHalfCheetahVelocity-v1-mujoco] [--steps 10000000]
+
+Each run trains in-process and writes
+``benchmarks/parity/{algo}-{env}-seed{seed}/`` containing the full run dir
+(progress.csv, config.json, checkpoints) plus ``summary.json`` with the
+final-window episode return/cost.  Existing completed runs are skipped so a
+queue of invocations is resumable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import shutil
+import sys
+
+import jax
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--algo', required=True)
+    parser.add_argument('--seed', type=int, required=True)
+    parser.add_argument('--env', default='SafetyHalfCheetahVelocity-v1-mujoco')
+    parser.add_argument('--steps', type=int, default=10_000_000)
+    parser.add_argument('--vector-env-nums', type=int, default=16)
+    parser.add_argument('--out', default=os.path.join(os.path.dirname(__file__), 'parity'))
+    args = parser.parse_args()
+
+    tag = f'{args.algo}-{args.env}-seed{args.seed}'
+    out_dir = os.path.join(args.out, tag)
+    summary_path = os.path.join(out_dir, 'summary.json')
+    if os.path.exists(summary_path):
+        print(f'[parity] {tag} already complete, skipping', flush=True)
+        return 0
+
+    # host physics + tiny MLPs: CPU is the right backend for the whole run
+    jax.config.update('jax_platforms', 'cpu')
+    import omnisafe_tpu  # pylint: disable=import-outside-toplevel
+
+    work_dir = os.path.join(args.out, '_work', tag)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    agent = omnisafe_tpu.Agent(args.algo, args.env, custom_cfgs={
+        'seed': args.seed,
+        'train_cfgs': {'total_steps': args.steps, 'vector_env_nums': args.vector_env_nums},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
+                        'save_model_freq': 100},
+    })
+    ep_ret, ep_cost, ep_len = agent.learn()
+
+    # final performance = mean over the last 10 epochs' episode windows
+    run_dirs = []
+    for root, _dirs, files in os.walk(work_dir):
+        if 'progress.csv' in files:
+            run_dirs.append(root)
+    assert run_dirs, f'no progress.csv under {work_dir}'
+    run_dir = sorted(run_dirs)[-1]
+    with open(os.path.join(run_dir, 'progress.csv'), encoding='utf-8') as handle:
+        rows = list(csv.DictReader(handle))
+    tail = rows[-10:]
+    final_ret = sum(float(r['Metrics/EpRet']) for r in tail) / len(tail)
+    final_cost = sum(float(r['Metrics/EpCost']) for r in tail) / len(tail)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ('progress.csv', 'config.json'):
+        src = os.path.join(run_dir, name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(out_dir, name))
+    with open(summary_path, 'w', encoding='utf-8') as handle:
+        json.dump({
+            'algo': args.algo, 'env': args.env, 'seed': args.seed,
+            'total_steps': args.steps, 'vector_env_nums': args.vector_env_nums,
+            'final_window_ret': final_ret, 'final_window_cost': final_cost,
+            'last_epoch_ret': ep_ret, 'last_epoch_cost': ep_cost,
+            'ep_len': ep_len,
+        }, handle, indent=2)
+    print(f'[parity] {tag}: ret={final_ret:.2f} cost={final_cost:.2f}', flush=True)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

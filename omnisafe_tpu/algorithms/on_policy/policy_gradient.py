@@ -242,19 +242,10 @@ class PolicyGradient(BaseAlgo):
         return batch.replace(adv_r=adv_r, adv_c=adv_c)
 
     # ------------------------------------------------------------- programs
-    def _rollout_program(self, state: OnPolicyTrainState):
-        """One epoch of experience + batch assembly (jitted)."""
-        from omnisafe_tpu.parallel import axis as paxis  # pylint: disable=import-outside-toplevel
-
+    def _assemble(self, traj, last_vr, last_vc):
+        """Batch assembly from a collected trajectory (jittable, shared by the
+        device rollout and the host-driven rollout)."""
         algo = self._cfgs.algo_cfgs
-        key, rkey = jax.random.split(state.key)
-        if self._axis_name is not None:
-            # decorrelate per-device randomness while the carried key stays
-            # replicated across the mesh
-            rkey = jax.random.fold_in(rkey, jax.lax.axis_index(self._axis_name))
-        carry, traj, last_vr, last_vc, ep_metrics = self._adapter.rollout(
-            state.rollout, state.params, self._actor_critic, rkey, self._steps_per_env
-        )
         batch = compute_batch(
             traj,
             last_vr,
@@ -270,7 +261,44 @@ class PolicyGradient(BaseAlgo):
             'Value/reward': self._pmean(jnp.mean(traj.value_r)),
             'Value/cost': self._pmean(jnp.mean(traj.value_c)),
         }
+        return batch, value_stats
+
+    def _rollout_program(self, state: OnPolicyTrainState):
+        """One epoch of experience + batch assembly (jitted)."""
+        key, rkey = jax.random.split(state.key)
+        if self._axis_name is not None:
+            # decorrelate per-device randomness while the carried key stays
+            # replicated across the mesh
+            rkey = jax.random.fold_in(rkey, jax.lax.axis_index(self._axis_name))
+        carry, traj, last_vr, last_vc, ep_metrics = self._adapter.rollout(
+            state.rollout, state.params, self._actor_critic, rkey, self._steps_per_env
+        )
+        batch, value_stats = self._assemble(traj, last_vr, last_vc)
         return state.replace(rollout=carry, key=key), batch, ep_metrics, value_stats
+
+    def _make_host_rollout(self):
+        """Host-driven collection for host-backed envs (MuJoCo et al.): the
+        Python loop owns physics, one small jitted program per step handles
+        normalizers + policy, and batch assembly stays jitted (see
+        adapter/host_loop.py for why io_callback-in-scan is wrong here)."""
+        from omnisafe_tpu.adapter.host_loop import (  # pylint: disable=import-outside-toplevel
+            HostRolloutRunner,
+        )
+
+        assert self._num_devices == 1, 'host-backed envs are single-process'
+        runner = HostRolloutRunner(self._adapter.env, self._actor_critic)
+        self._host_runner = runner
+        assemble_jit = jax.jit(self._assemble)
+
+        def rollout_fn(state: OnPolicyTrainState):
+            key, rkey = jax.random.split(state.key)
+            carry, traj, last_vr, last_vc, ep_metrics = runner.rollout(
+                state.rollout, state.params, None, rkey, self._steps_per_env
+            )
+            batch, value_stats = assemble_jit(traj, last_vr, last_vc)
+            return state.replace(rollout=carry, key=key), batch, ep_metrics, value_stats
+
+        return rollout_fn
 
     # pylint: disable-next=too-many-locals,too-many-statements
     def _update_program(self, state: OnPolicyTrainState, batch: OnPolicyBatch, Jc: Array, lr: Array):
@@ -408,7 +436,8 @@ class PolicyGradient(BaseAlgo):
     def _init_train_state(self) -> OnPolicyTrainState:
         self._key, model_key, env_key = jax.random.split(self._key, 3)
         params = self._actor_critic.init(model_key)
-        rollout = self._adapter.reset(env_key)
+        runner = getattr(self, '_host_runner', None)
+        rollout = runner.reset(env_key) if runner is not None else self._adapter.reset(env_key)
         state = OnPolicyTrainState(
             params=params,
             actor_opt=self._actor_tx.init(params.actor),
@@ -466,7 +495,14 @@ class PolicyGradient(BaseAlgo):
 
     def learn(self) -> Tuple[float, float, float]:
         """Epoch loop (reference: policy_gradient.py:238-306)."""
+        from omnisafe_tpu.adapter.host_loop import (  # pylint: disable=import-outside-toplevel
+            find_host_base,
+        )
+
         start = time.time()
+        host_rollout = (
+            self._make_host_rollout() if find_host_base(self._adapter.env) is not None else None
+        )
         state = self._init_train_state()
         if self._num_devices > 1:
             # SPMD over the dp mesh axis (reference's torchrun DP, compiled in)
@@ -478,7 +514,7 @@ class PolicyGradient(BaseAlgo):
             mesh = make_mesh(self._num_devices)
             rollout_jit, update_jit = make_distributed_programs(self, mesh, state)
         else:
-            rollout_jit = jax.jit(self._rollout_program)
+            rollout_jit = host_rollout or jax.jit(self._rollout_program)
             # the assembled batch is consumed by the update and never reused;
             # donating it lets XLA recycle the epoch's largest buffer in place
             update_jit = jax.jit(self._update_program, donate_argnums=1)

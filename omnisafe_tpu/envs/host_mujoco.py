@@ -51,6 +51,7 @@ class HostMujocoVelocityEnv(CMDP):
     need_time_limit_wrapper = False   # gymnasium's TimeLimit handles this
     need_auto_reset_wrapper = False   # auto-reset happens host-side
     is_vectorized = True
+    host_backed = True                # eligible for the host-driven rollout
 
     def __init__(self, env_id: str, num_envs: int = 1, **kwargs: Any) -> None:
         super().__init__(env_id, **kwargs)
@@ -113,6 +114,11 @@ class HostMujocoVelocityEnv(CMDP):
                 o, _ = env.reset()
             obs[i] = o
         return obs, reward, cost, term, trunc, final_obs
+
+    # direct entry points for the host-driven rollout (adapter/host_loop.py),
+    # which owns physics outside the XLA run loop
+    host_reset_direct = _host_reset
+    host_step_direct = _host_step
 
     # ------------------------------------------------------- CMDP interface
     def reset(self, key: Array):
