@@ -44,6 +44,10 @@ class AlgoWrapper:
             cfgs.recursive_update(custom_cfgs)
         if train_terminal_cfgs:
             cfgs.recursive_update({'train_cfgs': train_terminal_cfgs})
+        # self-describing config snapshot so the Evaluator can reconstruct the
+        # stack without parsing directory names (reference: evaluator.py:134-150)
+        cfgs['algo'] = self.algo
+        cfgs['env_id'] = self.env_id
         check_all_configs(cfgs, self.algo_type)
         return cfgs
 

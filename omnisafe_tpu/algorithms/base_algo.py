@@ -36,6 +36,24 @@ class BaseAlgo(abc.ABC):
         self._init()
         self._init_log()
 
+    @classmethod
+    def for_evaluation(cls, env_id: str, cfgs: Config) -> 'BaseAlgo':
+        """Construct the algorithm's env + model stack WITHOUT logging or
+        datasets, for checkpoint reconstruction by the Evaluator
+        (reference analogue: omnisafe/evaluator.py:134-307 rebuilds models and
+        planners from config.json)."""
+        self = cls.__new__(cls)
+        self._env_id = env_id
+        self._cfgs = cfgs
+        self._seed = int(cfgs.seed)
+        self._key = jax.random.key(self._seed)
+        self._axis_name = None
+        self._init_env()
+        self._init_model()
+        if cls._algo_type != 'offline':  # offline's _init loads the dataset
+            self._init()
+        return self
+
     @property
     def cfgs(self) -> Config:
         return self._cfgs

@@ -1,10 +1,23 @@
-"""Evaluator: reconstruct a trained policy from a run directory and evaluate it.
+"""Evaluator: reconstruct a trained policy stack from a run dir and evaluate it.
 
 Counterpart of the reference Evaluator (reference:
-omnisafe/evaluator.py:58-629): ``load_saved(run_dir)`` reads ``config.json``
-+ the newest checkpoint, rebuilds the env stack and model, and ``evaluate``
-rolls deterministic episodes.  ``render`` draws trajectory plots for the
-pure-JAX navigation envs (there is no MuJoCo pixel stream to record here).
+omnisafe/evaluator.py:58-629).  ``load_saved(run_dir)`` reads ``config.json``
++ a checkpoint and rebuilds the *full* policy stack the run trained with:
+
+* the actor (on-/off-policy) — reference: evaluator.py:290-307;
+* the obs normalizer, restored from the checkpointed running statistics and
+  applied (and updated, like the reference's ``Normalizer.normalize``) during
+  evaluation — reference: evaluator.py:172-178;
+* Saute/Simmer observation augmentation via the same ``SauteWrapper`` used in
+  training — reference: evaluator.py:160-171;
+* offline actors, by rebuilding the algorithm's model stack and restoring its
+  saved state (``BaseAlgo.for_evaluation``) — reference: evaluator.py:290-303;
+* model-based planners, by restoring the dynamics ensemble + planner state
+  and running the trainer's own planner-driven eval program — reference:
+  evaluator.py:225-289.
+
+``render`` draws trajectory plots for the pure-JAX navigation envs (there is
+no MuJoCo pixel stream to record here).
 """
 
 from __future__ import annotations
@@ -17,8 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from omnisafe_tpu.envs.core import make
-from omnisafe_tpu.envs.wrappers import ActionScale, AutoReset, TimeLimit, Vectorize
+from omnisafe_tpu.common.normalizer import RunningStats
+from omnisafe_tpu.envs.wrappers import NormalizeState
 from omnisafe_tpu.models.actor_critic import ConstraintActorCritic, ConstraintActorQCritic
 from omnisafe_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
 from omnisafe_tpu.utils.config import Config
@@ -26,15 +39,68 @@ from omnisafe_tpu.utils.config import Config
 Array = jax.Array
 
 
+def _extract_obs_stats(payload: Any, cfgs: Config, algo: str) -> Optional[RunningStats]:
+    """Pull the obs normalizer's running stats out of a checkpoint.
+
+    The stats live in the wrapper-state pytree carried by the rollout
+    (``train_state.rollout.env_state``); the nesting order mirrors the
+    wrapper build order (adapter/onpolicy.py:40-76): outer wrapper (Saute),
+    then Cost/Reward/ObsNormalize inward.
+    """
+    train_state = payload.get('train_state')
+    if train_state is None:
+        return None
+    node = train_state.get('rollout', {}).get('env_state')
+    if node is None:
+        return None
+    algo_cfgs = cfgs.algo_cfgs
+    if not algo_cfgs.get('obs_normalize', False):
+        return None
+    if 'Saute' in algo or 'Simmer' in algo:
+        node = node['env']
+    if algo_cfgs.get('cost_normalize', False):
+        node = node['env']
+    if algo_cfgs.get('reward_normalize', False):
+        node = node['env']
+    stats = node['stats']
+    return RunningStats(
+        mean=jnp.asarray(stats['mean']),
+        var=jnp.asarray(stats['var']),
+        count=jnp.asarray(stats['count']),
+    )
+
+
+def _graft_stats(state: Any, stats: RunningStats) -> Any:
+    """Install restored running stats into a freshly reset eval-env state
+    (the eval stack has exactly one NormalizeState — the obs normalizer)."""
+    if isinstance(state, NormalizeState):
+        return state.replace(stats=stats)
+    if hasattr(state, 'env'):
+        return state.replace(env=_graft_stats(state.env, stats))
+    return state
+
+
+def _find_stats(state: Any) -> Optional[RunningStats]:
+    """Read the obs normalizer's stats out of a wrapper-state pytree."""
+    if isinstance(state, NormalizeState):
+        return state.stats
+    if hasattr(state, 'env'):
+        return _find_stats(state.env)
+    return None
+
+
 class Evaluator:
-    """Load + evaluate saved policies."""
+    """Load + evaluate saved policies (reference: evaluator.py:58-629)."""
 
     def __init__(self) -> None:
         self._cfgs: Optional[Config] = None
         self._env_id: Optional[str] = None
+        self._algo: Optional[str] = None
         self._predict = None
         self._env = None
         self._raw_env = None
+        self._obs_stats: Optional[RunningStats] = None
+        self._mb_eval = None  # model-based planner eval closure
 
     # ------------------------------------------------------------- loading
     def load_saved(self, save_dir: str, checkpoint: Optional[str] = None) -> None:
@@ -50,77 +116,178 @@ class Evaluator:
             raise FileNotFoundError(f'no checkpoint under {save_dir}/save')
         payload = load_checkpoint(ckpt_path)
 
-        # run dirs are named '<env_id>---<Algo>'
-        exp = os.path.basename(os.path.dirname(os.path.normpath(save_dir)))
-        env_id, algo = exp.split('---')
+        # prefer the self-describing config; fall back to the
+        # '<env_id>---<Algo>' run-dir convention for older runs
+        if 'algo' in cfgs and 'env_id' in cfgs:
+            algo, env_id = str(cfgs['algo']), str(cfgs['env_id'])
+        else:
+            exp = os.path.basename(os.path.dirname(os.path.normpath(save_dir)))
+            env_id, algo = exp.split('---')
         self._env_id = env_id
         self._algo = algo
 
-        env = make(env_id)
-        self._raw_env = env
-        stack = env
-        if env.need_time_limit_wrapper:
-            stack = TimeLimit(stack, env.max_episode_steps)
-        if env.need_auto_reset_wrapper:
-            stack = AutoReset(stack)
-        stack = Vectorize(stack, 1)
-        stack = ActionScale(stack, -1.0, 1.0)
-        self._env = stack
+        from omnisafe_tpu.algorithms import ALGORITHM2TYPE  # pylint: disable=import-outside-toplevel
 
-        self._build_predict(payload)
-
-    def _build_predict(self, payload: Any) -> None:
-        cfgs = self._cfgs
-        env = self._raw_env
-        if 'params' in payload and 'actor' in payload['params']:
-            params = payload['params']
-            actor_state = params['actor']
-            model_cfgs = cfgs.model_cfgs
-            if 'target_actor' in params:  # off-policy checkpoint
-                model = ConstraintActorQCritic(
-                    env.observation_space, env.action_space, model_cfgs
-                )
-            else:
-                model = ConstraintActorCritic(
-                    env.observation_space, env.action_space, model_cfgs
-                )
-            actor = model.actor
-
-            def predict(obs: Array, key: Array) -> Array:
-                dist_or_act = actor.apply(
-                    jax.tree.map(jnp.asarray, actor_state), obs
-                )
-                if hasattr(dist_or_act, 'mode'):
-                    return dist_or_act.mode()
-                return dist_or_act
-
-            self._predict = predict
+        family = ALGORITHM2TYPE.get(algo, 'on-policy')
+        self._family = family
+        if family == 'offline':
+            self._load_offline(payload)
+        elif family == 'model-based':
+            self._load_model_based(payload)
         else:
-            raise NotImplementedError(
-                'checkpoint does not contain an actor; offline/model-based runs are '
-                'evaluated through their own trainers'
+            self._load_online(payload, family)
+
+    # --------------------------------------------------- family-specific
+    def _build_eval_stack(self) -> None:
+        """Eval env = training wrapper stack minus reward/cost normalization
+        (evaluation reports raw rewards/costs, reference: evaluator.py:150-178),
+        with the obs normalizer's statistics restored from the checkpoint."""
+        from omnisafe_tpu.adapter.onpolicy import build_env_stack  # pylint: disable=import-outside-toplevel
+
+        cfgs, algo = self._cfgs, self._algo
+        eval_algo_cfgs = Config(**cfgs.algo_cfgs.todict())
+        eval_algo_cfgs['reward_normalize'] = False
+        eval_algo_cfgs['cost_normalize'] = False
+
+        outer = None
+        if 'Saute' in algo or 'Simmer' in algo:
+            from omnisafe_tpu.adapter.saute import SauteWrapper  # pylint: disable=import-outside-toplevel
+
+            a = cfgs.algo_cfgs
+
+            def outer(env):  # noqa: F811
+                return SauteWrapper(
+                    env,
+                    num_envs=1,
+                    safety_budget=float(a.safety_budget),
+                    saute_gamma=float(a.saute_gamma),
+                    unsafe_reward=float(a.unsafe_reward),
+                    max_ep_len=int(a.max_ep_len),
+                    upper_budget=float(a.get('upper_budget', a.safety_budget)),
+                    simmer='Simmer' in algo,
+                )
+
+        self._env = build_env_stack(self._env_id, 1, eval_algo_cfgs, outer_wrapper=outer)
+        raw = self._env
+        while hasattr(raw, '_env'):
+            raw = raw._env  # pylint: disable=protected-access
+        self._raw_env = raw
+
+    def _load_online(self, payload: Any, family: str) -> None:
+        self._build_eval_stack()
+        self._obs_stats = _extract_obs_stats(payload, self._cfgs, self._algo)
+        if self._cfgs.algo_cfgs.get('obs_normalize', False) and self._obs_stats is None:
+            raise ValueError(
+                'run trained with obs_normalize but the checkpoint carries no '
+                'normalizer statistics — refusing to evaluate on raw observations'
             )
+        params = payload.get('params')
+        if params is None or 'actor' not in params:
+            raise NotImplementedError('checkpoint does not contain an actor')
+        actor_state = jax.tree.map(jnp.asarray, params['actor'])
+        model_cfgs = self._cfgs.model_cfgs
+        model_cls = ConstraintActorQCritic if family == 'off-policy' else ConstraintActorCritic
+        model = model_cls(self._env.observation_space, self._env.action_space, model_cfgs)
+        actor = model.actor
+
+        def predict(obs: Array, key: Array) -> Array:
+            del key
+            dist_or_act = actor.apply(actor_state, obs)
+            if hasattr(dist_or_act, 'mode'):
+                return dist_or_act.mode()
+            return dist_or_act
+
+        self._predict = predict
+
+    def _load_offline(self, payload: Any) -> None:
+        """Rebuild the offline algorithm's model stack and restore its state
+        (reference: evaluator.py:290-303)."""
+        from omnisafe_tpu.algorithms.registry import registry  # pylint: disable=import-outside-toplevel
+        from omnisafe_tpu.utils.checkpoint import restore_into  # pylint: disable=import-outside-toplevel
+
+        if 'state' not in payload:
+            raise NotImplementedError('offline checkpoint has no state payload')
+        algo_obj = registry.get(self._algo).for_evaluation(self._env_id, self._cfgs)
+        template = algo_obj._init_state()  # pylint: disable=protected-access
+        state = restore_into(template, payload['state'])
+        self._build_eval_stack()
+
+        def predict(obs: Array, key: Array) -> Array:
+            return algo_obj._predict(state, obs, key)  # pylint: disable=protected-access
+
+        self._predict = predict
+
+    def _load_model_based(self, payload: Any) -> None:
+        """Restore dynamics ensemble + planner and evaluate through the
+        trainer's own planner-driven eval program
+        (reference: evaluator.py:225-289 rebuilds the planner by algo name)."""
+        from omnisafe_tpu.algorithms.registry import registry  # pylint: disable=import-outside-toplevel
+        from omnisafe_tpu.utils.checkpoint import restore_resume  # pylint: disable=import-outside-toplevel
+
+        if 'resume' not in payload:
+            raise NotImplementedError('model-based checkpoint has no resume payload')
+        algo_obj = registry.get(self._algo).for_evaluation(self._env_id, self._cfgs)
+        state = algo_obj._init_train_state()  # pylint: disable=protected-access
+        state = restore_resume(state, payload['resume'])
+        self._raw_env = algo_obj._env  # pylint: disable=protected-access
+        self._env = self._raw_env
+        lagrange = jnp.asarray(algo_obj._lagrange_value())  # pylint: disable=protected-access
+        eval_jit = jax.jit(algo_obj._eval_program)  # pylint: disable=protected-access
+
+        def mb_eval(key: Array):
+            return eval_jit(state, key, lagrange)
+
+        self._mb_eval = mb_eval
 
     # ---------------------------------------------------------- evaluation
     def evaluate(self, num_episodes: int = 10, seed: int = 0) -> Tuple[float, float, float]:
         """Deterministic episodes (reference: evaluator.py:399-492)."""
-        assert self._env is not None, 'call load_saved first'
+        assert self._env is not None or self._mb_eval is not None, 'call load_saved first'
+
+        if self._mb_eval is not None:
+            rets, costs, lens = [], [], []
+            for i in range(num_episodes):
+                ret, cost, length = self._mb_eval(jax.random.key(seed + i))
+                rets.append(float(ret))
+                costs.append(float(cost))
+                lens.append(float(length))
+                print(f'Episode {i}: reward={rets[-1]:.3f} cost={costs[-1]:.3f} '
+                      f'len={lens[-1]:.0f}')
+            print(f'Average: reward={np.mean(rets):.3f} cost={np.mean(costs):.3f}')
+            return float(np.mean(rets)), float(np.mean(costs)), float(np.mean(lens))
+
         env = self._env
         max_steps = self._raw_env.max_episode_steps
+        obs_stats = self._obs_stats
 
         @jax.jit
         def one_episode(key: Array):
             reset_key, roll_key = jax.random.split(key)
             env_state, obs = env.reset(reset_key)
+            if obs_stats is not None:
+                # the freshly reset stack normalized the first obs with blank
+                # statistics; invert that (normalize is affine, no clipping)
+                # and redo it under the restored statistics
+                fresh = _find_stats(env_state)
+                d = obs_stats.mean.shape[-1]
+                raw0 = fresh.unnormalize(obs[..., :d])
+                obs = jnp.concatenate(
+                    [obs_stats.normalize(raw0), obs[..., d:]], axis=-1
+                )
+                env_state = _graft_stats(env_state, obs_stats)
 
             def body(carry, _):
                 env_state, obs, rng, ep_ret, ep_cost, ep_len, alive = carry
                 rng, a_key, s_key = jax.random.split(rng, 3)
                 act = self._predict(obs, a_key)
                 env_state, ts = env.step(env_state, act, s_key)
+                # report raw rewards/costs (Saute replaces the reward but
+                # keeps the original in info, adapter/saute.py:92-106)
+                reward = ts.info.get('original_reward', ts.reward)
+                cost = ts.info.get('original_cost', ts.cost)
                 live = alive.astype(jnp.float32)
-                ep_ret = ep_ret + ts.reward[0] * live
-                ep_cost = ep_cost + ts.cost[0] * live
+                ep_ret = ep_ret + reward[0] * live
+                ep_cost = ep_cost + cost[0] * live
                 ep_len = ep_len + live
                 alive = jnp.logical_and(alive, jnp.logical_not(ts.done[0]))
                 return (env_state, ts.obs, rng, ep_ret, ep_cost, ep_len, alive), None
