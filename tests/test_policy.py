@@ -227,6 +227,51 @@ def test_multi_device_data_parallel():
     assert np.isfinite(ret) and np.isfinite(cost)
 
 
+def test_cpo_multi_device_matches_single_device():
+    """The trust-region family's collective placement (pmean inside the FVP/CG
+    solve, the vmapped line search, and advantage standardization — reference:
+    natural_pg.py:112, cpo.py:140-143) must make an N-device CPO update equal
+    a 1-device update on identical data."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnisafe_tpu.parallel.onpolicy import make_distributed_programs, make_mesh
+
+    def build(num_devices, vector_env_nums):
+        cfg = {
+            'seed': 7,
+            'train_cfgs': {'total_steps': 256, 'vector_env_nums': vector_env_nums,
+                           'num_devices': num_devices},
+            'algo_cfgs': {'steps_per_epoch': 256, 'update_iters': 2, 'batch_size': 256},
+            'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_test_runs'},
+            'model_cfgs': TINY['model_cfgs'],
+        }
+        return omnisafe_tpu.Agent('CPO', 'Test-v0', custom_cfgs=cfg).agent
+
+    a1 = build(1, 4)
+    a4 = build(4, 1)
+    state1 = a1._init_train_state()
+    state4 = a4._init_train_state()
+    # identical seeds -> identical initial params
+    for l1, l4 in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state4.params)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l4))
+
+    # one batch collected single-device, fed to both update programs
+    state1, batch, _, _ = jax.jit(a1._rollout_program)(state1)
+    Jc, lr = jnp.asarray(30.0), jnp.asarray(1e-3)
+    new1, m1 = jax.jit(a1._update_program)(state1, batch, Jc, lr)
+
+    mesh = make_mesh(4)
+    _, update4 = make_distributed_programs(a4, mesh, state4)
+    state4 = state4.replace(params=state1.params, key=state1.key)
+    new4, m4 = update4(state4, batch, Jc, lr)
+
+    for l1, l4 in zip(jax.tree.leaves(new1.params), jax.tree.leaves(new4.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l4), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(m1['Train/KL']), float(m4['Train/KL']),
+                               rtol=1e-3, atol=1e-6)
+
+
 def test_learning_direction():
     """On Test-v0 reward grows with act[0]; PPO must exploit it."""
     ret, _, _ = _train(
