@@ -6,17 +6,26 @@ shorthand variant names, run every variant through a process pool, analyze
 results from the produced ``progress.csv`` files.  GPU round-robin becomes a
 no-op here — variants share the single TPU chip serially by default
 (``num_pool=1``); CPU-only sweeps can parallelize.
+
+Robustness parity with the reference:
+
+* an existing experiment dir with a *different* grid config is refused
+  instead of silently overwritten (reference: experiment_grid.py:419-427);
+* results bookkeeping is incremental — ``results.json`` is rewritten after
+  every variant, and re-running the same grid skips variants that already
+  completed, so an interrupted sweep resumes where it stopped;
+* ``evaluate``/``render`` run the Evaluator post-hoc over every variant's
+  saved checkpoints (reference: experiment_grid.py:540-642).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 from concurrent.futures import ProcessPoolExecutor
 from multiprocessing import get_context
 from typing import Any, Callable, Dict, List, Optional
-
-import numpy as np
 
 
 def _variant_name(variant: Dict[str, Any]) -> str:
@@ -86,39 +95,116 @@ class ExperimentGrid:
             out = [{**variant, key: val} for variant in out for val in vals]
         return out
 
+    def _grid_config(self) -> Dict[str, Any]:
+        return {'keys': self.keys, 'vals': self.vals}
+
+    # pylint: disable-next=too-many-locals,too-many-branches
     def run(
         self,
         train_fn: Callable[[str, str, Dict[str, Any]], Any] = default_train,
         num_pool: int = 1,
         exp_dir: Optional[str] = None,
+        force: bool = False,
     ) -> Dict[str, Any]:
-        """(reference: experiment_grid.py:387-473)."""
+        """Run (or resume) every variant.
+
+        An existing experiment dir is refused when its saved grid config
+        differs from this grid (pass ``force=True`` to override); when it
+        matches, completed variants are skipped so an interrupted sweep
+        resumes (reference: experiment_grid.py:387-473, 419-427).
+        """
         assert 'algo' in self.keys and 'env_id' in self.keys, (
             'grid must include algo and env_id keys'
         )
         exp_dir = exp_dir or os.path.join('./runs', self.exp_name)
+        cfg_path = os.path.join(exp_dir, 'grid_config.json')
+        results_path = os.path.join(exp_dir, 'results.json')
+        grid_cfg = json.loads(json.dumps(self._grid_config(), default=str))
+        if os.path.exists(cfg_path) and not force:
+            with open(cfg_path, encoding='utf-8') as f:
+                existing = json.load(f)
+            if existing != grid_cfg:
+                raise FileExistsError(
+                    f'{exp_dir} already holds a DIFFERENT experiment grid; '
+                    'choose a new exp_dir or pass force=True to overwrite'
+                )
         os.makedirs(exp_dir, exist_ok=True)
-        variants = self.variants()
-        with open(os.path.join(exp_dir, 'grid_config.json'), 'w', encoding='utf-8') as f:
-            json.dump({'keys': self.keys, 'vals': self.vals}, f, indent=2, default=str)
+        with open(cfg_path, 'w', encoding='utf-8') as f:
+            json.dump(grid_cfg, f, indent=2)
 
-        jobs = [
-            (train_fn, exp_dir, f'{_variant_name(v)}', v) for v in variants
-        ]
+        # resume bookkeeping: completed variants (no error) are skipped
         results: Dict[str, Any] = {}
+        if os.path.exists(results_path) and not force:
+            with open(results_path, encoding='utf-8') as f:
+                results = json.load(f)
+
+        def flush() -> None:
+            with open(results_path, 'w', encoding='utf-8') as f:
+                json.dump(results, f, indent=2, default=str)
+
+        jobs = []
+        for v in self.variants():
+            name = _variant_name(v)
+            if results.get(name, {}).get('error', '__missing__') is None:
+                continue  # already completed
+            jobs.append((train_fn, exp_dir, name, v))
+
         if num_pool <= 1:
             for job in jobs:
                 name, result, err = _run_variant(job)
                 results[name] = {'result': result, 'error': err}
+                flush()
         else:
             with ProcessPoolExecutor(
                 max_workers=num_pool, mp_context=get_context('spawn')
             ) as pool:
                 for name, result, err in pool.map(_run_variant, jobs):
                     results[name] = {'result': result, 'error': err}
-        with open(os.path.join(exp_dir, 'results.json'), 'w', encoding='utf-8') as f:
-            json.dump(results, f, indent=2, default=str)
+                    flush()
         return results
+
+    # ------------------------------------------------------------ post-hoc
+    @staticmethod
+    def _variant_run_dirs(exp_dir: str) -> Dict[str, str]:
+        """Map variant-relative seed dirs -> absolute run dirs."""
+        out: Dict[str, str] = {}
+        for cfg in glob.glob(os.path.join(exp_dir, '**', 'config.json'), recursive=True):
+            run_dir = os.path.dirname(cfg)
+            if glob.glob(os.path.join(run_dir, 'save', '*.msgpack')):
+                out[os.path.relpath(run_dir, exp_dir)] = run_dir
+        return out
+
+    @classmethod
+    def evaluate(cls, exp_dir: str, num_episodes: int = 5) -> Dict[str, Any]:
+        """Evaluate every variant's saved policy post-hoc
+        (reference: experiment_grid.py:540-597)."""
+        from omnisafe_tpu.evaluator import Evaluator  # pylint: disable=import-outside-toplevel
+
+        out: Dict[str, Any] = {}
+        for rel, run_dir in cls._variant_run_dirs(exp_dir).items():
+            evaluator = Evaluator()
+            evaluator.load_saved(run_dir)
+            ret, cost, length = evaluator.evaluate(num_episodes=num_episodes)
+            out[rel] = {'reward': ret, 'cost': cost, 'length': length}
+        path = os.path.join(exp_dir, 'evaluation.json')
+        with open(path, 'w', encoding='utf-8') as f:
+            json.dump(out, f, indent=2)
+        return out
+
+    @classmethod
+    def render(cls, exp_dir: str, num_episodes: int = 1) -> Dict[str, str]:
+        """Render every variant's saved policy post-hoc
+        (reference: experiment_grid.py:599-642)."""
+        from omnisafe_tpu.evaluator import Evaluator  # pylint: disable=import-outside-toplevel
+
+        out: Dict[str, str] = {}
+        for rel, run_dir in cls._variant_run_dirs(exp_dir).items():
+            evaluator = Evaluator()
+            evaluator.load_saved(run_dir)
+            replay_dir = os.path.join(run_dir, 'replay')
+            evaluator.render(num_episodes=num_episodes, save_replay_path=replay_dir)
+            out[rel] = replay_dir
+        return out
 
     @staticmethod
     def analyze(exp_dir: str, metric: str = 'Metrics/EpRet') -> Dict[str, float]:

@@ -97,6 +97,107 @@ def test_experiment_grid_and_tools(tmp_path):
     assert os.path.exists(plot)
 
 
+def test_experiment_grid_refuses_overwrite(tmp_path):
+    """An exp dir holding a DIFFERENT grid is refused
+    (reference: experiment_grid.py:419-427)."""
+    grid = ExperimentGrid('g1')
+    grid.add('algo', ['PPO']).add('env_id', ['Test-v0'])
+    grid.add('train_cfgs:total_steps', [256])
+    grid.add('train_cfgs:vector_env_nums', [4])
+    grid.add('algo_cfgs:steps_per_epoch', [256])
+    grid.add('logger_cfgs:use_tensorboard', [False])
+    grid.run(num_pool=1, exp_dir=str(tmp_path))
+
+    other = ExperimentGrid('g2')
+    other.add('algo', ['PPO']).add('env_id', ['Test-v0'])
+    other.add('train_cfgs:total_steps', [512])
+    with pytest.raises(FileExistsError):
+        other.run(num_pool=1, exp_dir=str(tmp_path))
+
+
+def test_experiment_grid_resume(tmp_path):
+    """Interrupted sweeps resume: completed variants are skipped, failed ones
+    re-run (reference analogue: resumable bookkeeping, experiment_grid.py:387-473)."""
+    calls = []
+
+    def flaky_train(algo, env_id, custom):
+        n = custom['algo_cfgs']['update_iters']
+        calls.append(n)
+        if n == 2:
+            raise RuntimeError('simulated crash')
+        return (0.0, 0.0, 0.0)
+
+    def grid():
+        g = ExperimentGrid('resume_test')
+        g.add('algo', ['PPO']).add('env_id', ['Test-v0'])
+        g.add('algo_cfgs:update_iters', [1, 2])
+        return g
+
+    results = grid().run(train_fn=flaky_train, num_pool=1, exp_dir=str(tmp_path))
+    assert sorted(calls) == [1, 2]
+    errors = [r['error'] for r in results.values()]
+    assert sum(e is None for e in errors) == 1 and sum(e is not None for e in errors) == 1
+
+    # second pass: identical grid resumes — only the failed variant re-runs
+    calls.clear()
+
+    def fixed_train(algo, env_id, custom):
+        calls.append(custom['algo_cfgs']['update_iters'])
+        return (1.0, 0.0, 0.0)
+
+    results = grid().run(train_fn=fixed_train, num_pool=1, exp_dir=str(tmp_path))
+    assert calls == [2]
+    assert all(r['error'] is None for r in results.values())
+
+
+def test_experiment_grid_posthoc_evaluate(tmp_path):
+    grid = ExperimentGrid('posthoc')
+    grid.add('algo', ['PPO']).add('env_id', ['Test-v0'])
+    grid.add('train_cfgs:total_steps', [256])
+    grid.add('train_cfgs:vector_env_nums', [4])
+    grid.add('algo_cfgs:steps_per_epoch', [256])
+    grid.add('algo_cfgs:update_iters', [1])
+    grid.add('algo_cfgs:batch_size', [64])
+    grid.add('logger_cfgs:use_tensorboard', [False])
+    grid.add('logger_cfgs:save_model_freq', [1])
+    grid.run(num_pool=1, exp_dir=str(tmp_path))
+    out = ExperimentGrid.evaluate(str(tmp_path), num_episodes=1)
+    assert len(out) == 1
+    for entry in out.values():
+        assert np.isfinite(entry['reward']) and np.isfinite(entry['cost'])
+    assert os.path.exists(tmp_path / 'evaluation.json')
+
+
+def test_statistics_tools_two_parameters(tmp_path):
+    """Two swept parameters analyzed through the grid-config-driven draw path
+    (reference: statistics_tools.py:54-170)."""
+    grid = ExperimentGrid('two_param')
+    grid.add('algo', ['PPO']).add('env_id', ['Test-v0'])
+    grid.add('algo_cfgs:update_iters', [1, 2])
+    grid.add('algo_cfgs:gamma', [0.9, 0.99])
+    grid.add('train_cfgs:total_steps', [256])
+    grid.add('train_cfgs:vector_env_nums', [4])
+    grid.add('algo_cfgs:steps_per_epoch', [256])
+    grid.add('algo_cfgs:batch_size', [64])
+    grid.add('logger_cfgs:use_tensorboard', [False])
+    results = grid.run(num_pool=1, exp_dir=str(tmp_path))
+    assert len(results) == 4
+
+    tools = StatisticsTools()
+    tools.load_source(str(tmp_path))
+    paths = tools.draw_all(cost_limit=25.0, smooth=2)
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    # value filtering and compare_num
+    p = tools.draw_graph(parameter='algo_cfgs:gamma', values=[0.9],
+                         save_name='gamma_09.png')
+    assert os.path.exists(p)
+    p = tools.draw_graph(parameter='algo_cfgs:update_iters', compare_num=1,
+                         save_name='iters_top1.png')
+    assert os.path.exists(p)
+    with pytest.raises(AssertionError):
+        tools.draw_graph(parameter='algo_cfgs:gamma', values=[0.9], compare_num=1)
+
+
 @pytest.mark.parametrize(
     ('algo', 'env_id', 'cfgs'),
     [
