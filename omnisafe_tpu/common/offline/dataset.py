@@ -23,22 +23,78 @@ Array = jax.Array
 FIELDS = ('obs', 'action', 'reward', 'cost', 'next_obs', 'done')
 
 
+def validate_dataset(path: str) -> Dict[str, np.ndarray]:
+    """Load + validate a transition ``.npz`` against the reference schema
+    (field names/dtypes/shapes — reference: omnisafe/common/offline/
+    dataset.py:160-180), raising with a precise message on any mismatch.
+
+    The reference's published datasets use the SAME field names
+    (``obs/action/reward/cost/next_obs/done``), so its files load directly;
+    per-step scalar fields stored as ``(N, 1)`` are squeezed to ``(N,)``.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f'dataset {path!r} not found; collect one with OfflineDataCollector '
+            'or convert a reference npz (see README "Offline datasets")'
+        )
+    try:
+        raw = np.load(path)
+    except (ValueError, OSError) as exc:
+        raise ValueError(f'{path!r} is not a readable .npz archive: {exc}') from exc
+    missing = [f for f in FIELDS if f not in raw]
+    if missing:
+        raise ValueError(
+            f'dataset {path!r} missing fields {missing}; required schema is '
+            f'{list(FIELDS)} (reference: omnisafe/common/offline/dataset.py:160-166)'
+        )
+    out: Dict[str, np.ndarray] = {}
+    n = None
+    for field in FIELDS:
+        arr = np.asarray(raw[field])
+        if not np.issubdtype(arr.dtype, np.number) and not np.issubdtype(arr.dtype, np.bool_):
+            raise ValueError(
+                f'dataset field {field!r} has non-numeric dtype {arr.dtype}'
+            )
+        arr = arr.astype(np.float32)
+        if field in ('reward', 'cost', 'done'):
+            if arr.ndim == 2 and arr.shape[1] == 1:
+                arr = arr[:, 0]
+            if arr.ndim != 1:
+                raise ValueError(
+                    f'dataset field {field!r} must be (N,) or (N, 1), got {arr.shape}'
+                )
+        else:
+            if arr.ndim != 2:
+                raise ValueError(
+                    f'dataset field {field!r} must be (N, dim), got shape {arr.shape}'
+                )
+        if n is None:
+            n = arr.shape[0]
+        elif arr.shape[0] != n:
+            raise ValueError(
+                f'dataset field {field!r} has {arr.shape[0]} transitions, '
+                f'but {FIELDS[0]!r} has {n} — all fields must align'
+            )
+        if not np.isfinite(arr).all():
+            bad = int((~np.isfinite(arr)).sum())
+            raise ValueError(f'dataset field {field!r} contains {bad} non-finite values')
+        out[field] = arr
+    if out['obs'].shape != out['next_obs'].shape:
+        raise ValueError(
+            f"obs {out['obs'].shape} and next_obs {out['next_obs'].shape} shapes differ"
+        )
+    if n == 0:
+        raise ValueError(f'dataset {path!r} is empty')
+    return out
+
+
 class OfflineDataset:
     """npz-backed transition dataset."""
 
     def __init__(self, dataset: str, batch_size: int = 256) -> None:
         path = dataset if dataset.endswith('.npz') else f'{dataset}.npz'
-        if not os.path.exists(path):
-            raise FileNotFoundError(
-                f'dataset {path!r} not found; collect one with OfflineDataCollector'
-            )
-        raw = np.load(path)
-        missing = [f for f in FIELDS if f not in raw]
-        if missing:
-            raise ValueError(f'dataset {path!r} missing fields {missing}')
-        self.data: Dict[str, Array] = {
-            f: jnp.asarray(raw[f], jnp.float32) for f in FIELDS
-        }
+        arrays = validate_dataset(path)
+        self.data: Dict[str, Array] = {f: jnp.asarray(a) for f, a in arrays.items()}
         self.size = int(self.data['obs'].shape[0])
         self.batch_size = batch_size
         self.obs_dim = int(self.data['obs'].shape[-1])
@@ -79,4 +135,4 @@ class OfflineDatasetWithInit(OfflineDataset):
         return tuple(self.data[f][idx] for f in fields)
 
 
-__all__ = ['OfflineDataset', 'OfflineDatasetWithInit', 'FIELDS']
+__all__ = ['OfflineDataset', 'OfflineDatasetWithInit', 'FIELDS', 'validate_dataset']
