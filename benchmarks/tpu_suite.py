@@ -75,21 +75,22 @@ def bench_pallas_roofline() -> None:
     import jax
     import jax.numpy as jnp
 
-    from omnisafe_tpu.ops.pallas_scan import discount_cumsum_pallas
+    from omnisafe_tpu.ops.pallas_scan import linear_reverse_scan
 
-    # (T, B) shaped like a large on-policy epoch; the kernel reads values +
-    # writes returns once each -> bytes moved = 2 * T * B * 4
+    # (T, B) shaped like a large on-policy epoch; the kernel reads a + b and
+    # writes y once each -> bytes moved = 3 * T * B * 4
     t_len, batch = 4096, 2048
-    x = jnp.ones((t_len, batch), jnp.float32)
-    fn = jax.jit(lambda v: discount_cumsum_pallas(v, 0.99))
-    fn(x).block_until_ready()
+    a = jnp.full((t_len, batch), 0.99, jnp.float32)
+    b = jnp.ones((t_len, batch), jnp.float32)
+    fn = jax.jit(linear_reverse_scan)
+    fn(a, b).block_until_ready()
     times = []
     for _ in range(20):
         t0 = time.perf_counter()
-        fn(x).block_until_ready()
+        fn(a, b).block_until_ready()
         times.append(time.perf_counter() - t0)
     best = min(times)  # min isolates the tunnel/dispatch jitter
-    gbytes = 2 * t_len * batch * 4 / 1e9
+    gbytes = 3 * t_len * batch * 4 / 1e9
     achieved = gbytes / best
     print(json.dumps({
         'metric': 'pallas_scan_gbps',

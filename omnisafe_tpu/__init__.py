@@ -14,7 +14,11 @@ import jax as _jax
 # expensive on TPU (tens of seconds); caching it on disk makes every
 # subsequent run of the same config start hot.  Opt out with
 # OMNISAFE_TPU_NO_COMPILE_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR.
-if not _os.environ.get('OMNISAFE_TPU_NO_COMPILE_CACHE'):
+if (
+    not _os.environ.get('OMNISAFE_TPU_NO_COMPILE_CACHE')
+    # respect a cache dir an embedding app already configured programmatically
+    and getattr(_jax.config, 'jax_compilation_cache_dir', None) is None
+):
     _cache_dir = _os.environ.get(
         'JAX_COMPILATION_CACHE_DIR',
         _os.path.join(_os.path.expanduser('~'), '.cache', 'omnisafe_tpu', 'xla'),

@@ -108,6 +108,9 @@ class DDPG(BaseAlgo):
             seed=self._seed,
             use_tensorboard=bool(cfgs.logger_cfgs.use_tensorboard),
             use_wandb=bool(cfgs.logger_cfgs.use_wandb),
+            wandb_project=str(cfgs.logger_cfgs.get('wandb_project', 'omnisafe_tpu')),
+            verbose=bool(cfgs.logger_cfgs.get('verbose', False)),
+            use_profiler=bool(cfgs.logger_cfgs.get('use_profiler', False)),
             config=cfgs,
         )
         window = int(cfgs.logger_cfgs.window_lens)
@@ -485,7 +488,7 @@ class DDPG(BaseAlgo):
             })
             if (epoch + 1) % int(self._cfgs.logger_cfgs.save_model_freq) == 0:
                 self._logger.save()
-            self._logger.dump_tabular(verbose=False)
+            self._logger.dump_tabular()
 
         ret = self._logger.get_stats('Metrics/EpRet')[0]
         cost = self._logger.get_stats('Metrics/EpCost')[0]

@@ -49,6 +49,9 @@ class BaseOffline(BaseAlgo):
             seed=self._seed,
             use_tensorboard=bool(cfgs.logger_cfgs.use_tensorboard),
             use_wandb=bool(cfgs.logger_cfgs.use_wandb),
+            wandb_project=str(cfgs.logger_cfgs.get('wandb_project', 'omnisafe_tpu')),
+            verbose=bool(cfgs.logger_cfgs.get('verbose', False)),
+            use_profiler=bool(cfgs.logger_cfgs.get('use_profiler', False)),
             config=cfgs,
         )
         log = self._logger
@@ -154,7 +157,7 @@ class BaseOffline(BaseAlgo):
                                       'config': self._cfgs.todict()})
             if (epoch + 1) % int(self._cfgs.logger_cfgs.save_model_freq) == 0:
                 self._logger.save()
-            row = self._logger.dump_tabular(verbose=False)
+            row = self._logger.dump_tabular()
 
         ret = row.get('Metrics/EpRet', 0.0)
         cost = row.get('Metrics/EpCost', 0.0)

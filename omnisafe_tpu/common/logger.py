@@ -30,6 +30,9 @@ class Logger:
         seed: int = 0,
         use_tensorboard: bool = True,
         use_wandb: bool = False,
+        wandb_project: str = 'omnisafe_tpu',
+        verbose: bool = False,
+        use_profiler: bool = False,
         config: Any = None,
     ) -> None:
         self._log_dir = os.path.join(output_dir, exp_name, f'seed-{seed:03d}-{int(time.time())}')
@@ -60,7 +63,25 @@ class Logger:
                 self._tb_writer = SummaryWriter(log_dir=os.path.join(self._log_dir, 'tb'))
             except Exception:  # pragma: no cover - tensorboard optional
                 self._tb_writer = None
-        self._use_wandb = use_wandb  # wandb has no egress in this image; accepted and ignored
+        # optional wandb sink: used when the package is importable (this image
+        # has no egress, so absence is the normal case and is only warned once)
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb  # pylint: disable=import-outside-toplevel
+
+                self._wandb = wandb.init(
+                    project=wandb_project,
+                    name=f'{exp_name}-seed{seed}',
+                    dir=self._log_dir,
+                    config=config.todict() if hasattr(config, 'todict') else config,
+                )
+            except Exception as exc:  # pragma: no cover - wandb optional
+                print(f'[logger] wandb requested but unavailable ({exc!r}); '
+                      'continuing with csv/tensorboard only', flush=True)
+        self._verbose = verbose
+        self._use_profiler = use_profiler
+        self._profiling = False
 
     @property
     def log_dir(self) -> str:
@@ -95,7 +116,42 @@ class Logger:
         return float(vals.mean()), float(vals.std()), float(vals.min()), float(vals.max())
 
     # -- epoch dump ---------------------------------------------------------
-    def dump_tabular(self, verbose: bool = True) -> Dict[str, float]:
+    def _print_table(self, row: Dict[str, float]) -> None:
+        """Rich console table like the reference's per-epoch dump
+        (reference: logger.py:284-319); falls back to plain text."""
+        try:
+            from rich.console import Console  # pylint: disable=import-outside-toplevel
+            from rich.table import Table  # pylint: disable=import-outside-toplevel
+
+            table = Table(title=f'Epoch {self._epoch}', show_header=True,
+                          header_style='bold')
+            table.add_column('Metrics', style='cyan')
+            table.add_column('Value', justify='right')
+            for key, val in row.items():
+                table.add_row(key, f'{val:.6g}')
+            Console().print(table)
+        except Exception:  # pragma: no cover - rich optional
+            width = max((len(k) for k in row), default=10)
+            lines = [f'{"-" * (width + 18)}']
+            for key, val in row.items():
+                lines.append(f'| {key:<{width}} | {val:13.6g} |')
+            lines.append(f'{"-" * (width + 18)}')
+            print('\n'.join(lines), flush=True)
+
+    def _profiler_hook(self) -> None:
+        """Capture a jax profiler trace of epochs 2-3 into the run dir
+        (SURVEY §5: the reference has wall-clock timers only; a real trace
+        is the TPU-native upgrade)."""
+        import jax  # pylint: disable=import-outside-toplevel
+
+        if self._epoch == 1 and not self._profiling:
+            jax.profiler.start_trace(os.path.join(self._log_dir, 'profile'))
+            self._profiling = True
+        elif self._epoch == 3 and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+
+    def dump_tabular(self, verbose: Optional[bool] = None) -> Dict[str, float]:
         row: Dict[str, float] = {}
         for key in self._headers_windows:
             mean, std, vmin, vmax = self.get_stats(key)
@@ -114,13 +170,12 @@ class Logger:
             for key, val in row.items():
                 self._tb_writer.add_scalar(key, val, self._epoch)
             self._tb_writer.flush()
-        if verbose:
-            width = max((len(k) for k in row), default=10)
-            lines = [f'{"-" * (width + 18)}']
-            for key, val in row.items():
-                lines.append(f'| {key:<{width}} | {val:13.6g} |')
-            lines.append(f'{"-" * (width + 18)}')
-            print('\n'.join(lines), flush=True)
+        if self._wandb is not None:
+            self._wandb.log(row, step=self._epoch)
+        if self._verbose if verbose is None else verbose:
+            self._print_table(row)
+        if self._use_profiler:
+            self._profiler_hook()
         # windowed keys persist across epochs; unwindowed keys reset
         for key in self._data:
             if self._headers_windows[key] is None:
@@ -160,9 +215,16 @@ class Logger:
         return path
 
     def close(self) -> None:
+        if self._profiling:  # trace still open (run shorter than 3 epochs)
+            import jax  # pylint: disable=import-outside-toplevel
+
+            jax.profiler.stop_trace()
+            self._profiling = False
         self._csv_file.close()
         if self._tb_writer is not None:
             self._tb_writer.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 __all__ = ['Logger']

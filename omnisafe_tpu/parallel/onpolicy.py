@@ -110,7 +110,10 @@ def make_distributed_programs(algo, mesh: Mesh, example_state: OnPolicyTrainStat
             in_specs=(state_spec, batch_spec, P(), P()),
             out_specs=(state_spec, metrics_spec),
             check_vma=False,
-        )
+        ),
+        # match the single-device path: the assembled batch is consumed by
+        # the update and never reused, so donate its buffers
+        donate_argnums=1,
     )
     return rollout, update
 

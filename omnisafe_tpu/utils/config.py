@@ -171,6 +171,8 @@ _LOGGER_CFGS_SPEC = [
     ('save_model_freq', (int,), _POS),
     ('window_lens', (int,), _POS),
     ('log_dir', (str,), None),
+    ('verbose', (bool,), None),
+    ('use_profiler', (bool,), None),
 ]
 
 _MODEL_HEAD_SPEC = [

@@ -97,6 +97,25 @@ def test_experiment_grid_and_tools(tmp_path):
     assert os.path.exists(plot)
 
 
+def test_profiler_trace_and_verbose_table(tmp_path, capsys):
+    """use_profiler captures a jax trace of epochs 2-3 into the run dir;
+    verbose renders the per-epoch table (SURVEY §5 observability)."""
+    agent = omnisafe_tpu.Agent('PPO', 'Test-v0', custom_cfgs={
+        'train_cfgs': {'total_steps': 1024, 'vector_env_nums': 4},
+        'algo_cfgs': {'steps_per_epoch': 256, 'update_iters': 1, 'batch_size': 64},
+        'model_cfgs': {'actor': {'hidden_sizes': [8, 8]},
+                       'critic': {'hidden_sizes': [8, 8]}},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': str(tmp_path),
+                        'verbose': True, 'use_profiler': True},
+    })
+    agent.learn()
+    run_dir = agent.agent._logger.log_dir
+    profile_dir = os.path.join(run_dir, 'profile')
+    assert os.path.isdir(profile_dir) and any(os.scandir(profile_dir))
+    out = capsys.readouterr().out
+    assert 'Metrics/EpRet' in out  # the rendered table reached the console
+
+
 def test_experiment_grid_refuses_overwrite(tmp_path):
     """An exp dir holding a DIFFERENT grid is refused
     (reference: experiment_grid.py:419-427)."""
