@@ -82,14 +82,25 @@ def bench_pallas_roofline() -> None:
     t_len, batch = 4096, 2048
     a = jnp.full((t_len, batch), 0.99, jnp.float32)
     b = jnp.ones((t_len, batch), jnp.float32)
-    fn = jax.jit(linear_reverse_scan)
-    fn(a, b).block_until_ready()
+
+    # chain REPS dependent kernel invocations inside one jit so per-call
+    # tunnel latency and async dispatch cannot distort the timing
+    reps = 50
+
+    @jax.jit
+    def chained(a, b):
+        def body(y, _):
+            return linear_reverse_scan(a, y), ()
+        y, _ = jax.lax.scan(body, b, None, length=reps)
+        return y
+
+    chained(a, b).block_until_ready()
     times = []
-    for _ in range(20):
+    for _ in range(5):
         t0 = time.perf_counter()
-        fn(a, b).block_until_ready()
+        chained(a, b).block_until_ready()
         times.append(time.perf_counter() - t0)
-    best = min(times)  # min isolates the tunnel/dispatch jitter
+    best = min(times) / reps
     gbytes = 3 * t_len * batch * 4 / 1e9
     achieved = gbytes / best
     print(json.dumps({

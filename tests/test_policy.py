@@ -227,6 +227,42 @@ def test_multi_device_data_parallel():
     assert np.isfinite(ret) and np.isfinite(cost)
 
 
+@pytest.mark.full
+def test_constrained_learning_acceptance():
+    """Full-stack acceptance: a Lagrangian learner on physics-exact MuJoCo
+    must drive episode cost toward the limit while keeping reward high
+    (VERDICT r1 #5; reference analogue: the full-stack training tests,
+    reference tests/test_policy.py:404-437).  ~10 min on 2 CPUs.
+
+    Thresholds are lenient vs the observed parity trajectory (ret 2563 /
+    cost 32 at 2e6 steps, vs reference final 2946±306 / 3.4) so seed noise
+    does not flake the gate, while env-geometry or Lagrangian regressions
+    (cost stuck at ~1000, reward collapse) still fail loudly.
+    """
+    pytest.importorskip('mujoco')
+    import csv
+    import glob as _glob
+
+    agent = omnisafe_tpu.Agent('PPOLag', 'SafetyHalfCheetahVelocity-v1-mujoco', custom_cfgs={
+        'seed': 0,
+        'train_cfgs': {'total_steps': 2_000_000, 'vector_env_nums': 16},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_accept'},
+    })
+    agent.learn()
+    run_dir = agent.agent._logger.log_dir
+    with open(_glob.glob(os.path.join(run_dir, 'progress.csv'))[0]) as f:
+        rows = list(csv.DictReader(f))
+    tail = rows[-5:]
+    final_ret = np.mean([float(r['Metrics/EpRet']) for r in tail])
+    final_cost = np.mean([float(r['Metrics/EpCost']) for r in tail])
+    peak_cost = max(float(r['Metrics/EpCost']) for r in rows)
+    assert final_ret > 1500.0, f'reward did not learn: {final_ret}'
+    assert final_cost < 80.0, f'cost not driven toward the 25 limit: {final_cost}'
+    assert final_cost < 0.5 * peak_cost, (
+        f'Lagrangian never engaged: final {final_cost} vs peak {peak_cost}'
+    )
+
+
 def test_cpo_multi_device_matches_single_device():
     """The trust-region family's collective placement (pmean inside the FVP/CG
     solve, the vmapped line search, and advantage standardization — reference:
