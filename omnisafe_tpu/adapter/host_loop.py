@@ -75,28 +75,21 @@ class _RelayEnv(CMDP):
         del key
         obs = self._reset_obs
         assert obs is not None, 'host reset must run before stack reset'
-        placeholder = TimeStep(
-            obs=obs,
-            reward=jnp.zeros(obs.shape[:1]),
-            cost=jnp.zeros(obs.shape[:1]),
-            terminated=jnp.zeros(obs.shape[:1], bool),
-            truncated=jnp.zeros(obs.shape[:1], bool),
-            final_obs=obs,
-        )
-        return placeholder, obs
+        # state is a scalar token: the real timestep is grafted in per step
+        # and must NOT be carried (carrying it would alias its arrays with
+        # the rollout obs and break buffer donation)
+        return jnp.zeros(()), obs
 
     def step(self, state: TimeStep, action: Array, key: Array):
         del action, key
-        return state, state
+        return jnp.zeros(()), state  # state IS the grafted raw TimeStep
 
 
 def _graft(state: Any, raw_ts: TimeStep) -> Any:
     """Replace the innermost (relay) leaf of a wrapper-state pytree."""
-    if isinstance(state, TimeStep):
-        return raw_ts
     if hasattr(state, 'env'):
         return state.replace(env=_graft(state.env, raw_ts))
-    raise TypeError(f'unexpected wrapper state {type(state).__name__}')
+    return raw_ts  # the relay's scalar token (or a stale grafted ts)
 
 
 def find_host_base(env: CMDP) -> Optional[CMDP]:
@@ -121,33 +114,9 @@ class HostRolloutRunner:
     """Drop-in replacement for ``OnPolicyAdapter.rollout`` on host envs."""
 
     def __init__(self, env_stack: CMDP, actor_critic: Any) -> None:
-        self._stack = env_stack
         self._ac = actor_critic
-
-        # locate the base host env and splice the relay in its place
-        chain: List[CMDP] = [env_stack]
-        node = env_stack
-        while isinstance(node, Wrapper):
-            node = node._env  # pylint: disable=protected-access
-            chain.append(node)
-        base = chain[-1]
-        assert getattr(base, 'host_backed', False), f'{type(base).__name__} is not host-backed'
-        self._base = base
-        self._relay = _RelayEnv(base)
-        if len(chain) >= 2:
-            chain[-2]._env = self._relay  # pylint: disable=protected-access
-        else:
-            self._stack = self._relay
-
-        scale_wrapper = next((w for w in chain if isinstance(w, ActionScale)), None)
-        if scale_wrapper is not None:
-            scale = scale_wrapper._scale  # pylint: disable=protected-access
-            offset = scale_wrapper._offset  # pylint: disable=protected-access
-            self._to_native = lambda a: offset + scale * a
-        else:
-            self._to_native = lambda a: a
-
-        self._num_envs = base.num_envs
+        self._stack, self._base, self._relay, self._to_native = _spliced(env_stack)
+        self._num_envs = self._base.num_envs
         self._first_fn = jax.jit(self._first)
         self._mid_fn = jax.jit(self._mid)
         self._last_fn = jax.jit(self._last)
@@ -264,4 +233,228 @@ class HostRolloutRunner:
         return carry, traj, last_value_r, last_value_c, metrics
 
 
-__all__ = ['HostRolloutRunner', 'find_host_base']
+class HostOffPolicyRunner:
+    """Host-driven collection for off-policy learners on host-backed envs.
+
+    Same inversion as :class:`HostRolloutRunner` (host loop owns physics, one
+    small jitted program per step), with the transition stored into the
+    device replay ring per step — the ring buffers are donated so the store
+    is in-place.  Mirrors ``OffPolicyAdapter.rollout``
+    (adapter/offpolicy.py:54-109): warm-up random actions, TD done =
+    terminated AND NOT truncated, real_next_obs from the pre-reset obs.
+
+    Also fixes a host-env-specific hazard of the device path: evaluation
+    episodes must NOT reset the training envs (host state is real), so
+    ``eval_episode`` runs on a separate env stack.
+    """
+
+    def __init__(self, env_stack: CMDP, predict_fn, buffer: Optional[Any]) -> None:
+        self._predict = predict_fn  # (policy_state, obs, key) -> act in [-1, 1]
+        # buffer=None -> external-store mode: transitions are returned to the
+        # caller instead of written into a local ring (the TPU-learner path
+        # ships them to the device-resident ring in one transfer per cycle)
+        self._buffer = buffer
+        self._stack, self._base, self._relay, self._to_native = _spliced(env_stack)
+        self._num_envs = self._base.num_envs
+        self._act_dim = int(self._base.action_space.shape[0])
+        self._first_fn = jax.jit(self._first)
+        donate = (1,) if buffer is not None else ()
+        self._mid_fn = jax.jit(self._mid, donate_argnums=donate)
+        self._last_fn = jax.jit(self._last, donate_argnums=donate)
+
+    # ---------------------------------------------------------------- jitted
+    def _act(self, policy_state: Any, obs: Array, rng: Array, use_rand: Array):
+        rng, act_key, rand_key = jax.random.split(rng, 3)
+        policy_act = self._predict(policy_state, obs, act_key)
+        rand_act = jax.random.uniform(
+            rand_key, (self._num_envs, self._act_dim), minval=-1.0, maxval=1.0
+        )
+        act = jnp.where(use_rand, rand_act, policy_act)
+        return act, self._to_native(act), rng
+
+    def _first(self, carry: RolloutCarry, policy_state: Any, rng: Array, use_rand: Array):
+        return self._act(policy_state, carry.obs, rng, use_rand)
+
+    def _ingest_store(self, buf_state: Any, carry: RolloutCarry, act: Array,
+                      raw_ts: TimeStep, key: Array):
+        ws = _graft(carry.env_state, raw_ts)
+        new_ws, ts = self._stack.step(ws, act, key)
+        raw_r = ts.info.get('original_reward', ts.reward)
+        raw_c = ts.info.get('original_cost', ts.cost)
+        done = ts.done
+        real_next_obs = jnp.where(done[:, None], ts.final_obs, ts.obs)
+        td_done = jnp.logical_and(ts.terminated, jnp.logical_not(ts.truncated))
+        transition = {
+            'obs': carry.obs,
+            'act': act,
+            'reward': ts.reward,
+            'cost': ts.cost,
+            'done': td_done.astype(jnp.float32),
+            'next_obs': real_next_obs,
+        }
+        if self._buffer is not None:
+            buf_state = self._buffer.store(buf_state, transition)
+        else:
+            buf_state = transition  # handed back to the caller per step
+        ep_ret = carry.ep_ret + raw_r
+        ep_cost = carry.ep_cost + raw_c
+        ep_len = carry.ep_len + 1.0
+        record = (done, ep_ret, ep_cost, ep_len)
+        not_done = 1.0 - done.astype(jnp.float32)
+        new_carry = RolloutCarry(
+            env_state=new_ws,
+            obs=ts.obs,
+            ep_ret=ep_ret * not_done,
+            ep_cost=ep_cost * not_done,
+            ep_len=ep_len * not_done,
+        )
+        return buf_state, new_carry, record
+
+    def _mid(self, policy_state: Any, buf_state: Any, carry: RolloutCarry, act: Array,
+             raw_ts: TimeStep, rng: Array, use_rand: Array):
+        rng, step_key = jax.random.split(rng)
+        buf_state, new_carry, record = self._ingest_store(buf_state, carry, act, raw_ts, step_key)
+        next_act, native, rng = self._act(policy_state, new_carry.obs, rng, use_rand)
+        return buf_state, new_carry, record, next_act, native, rng
+
+    def _last(self, policy_state: Any, buf_state: Any, carry: RolloutCarry, act: Array,
+              raw_ts: TimeStep, rng: Array):
+        del policy_state
+        rng, step_key = jax.random.split(rng)
+        buf_state, new_carry, record = self._ingest_store(buf_state, carry, act, raw_ts, step_key)
+        return buf_state, new_carry, record, rng
+
+    # ------------------------------------------------------------------ host
+    def _wrap_raw(self, host_out) -> TimeStep:
+        obs, reward, cost, term, trunc, final_obs = host_out
+        return TimeStep(
+            obs=jnp.asarray(obs), reward=jnp.asarray(reward), cost=jnp.asarray(cost),
+            terminated=jnp.asarray(term), truncated=jnp.asarray(trunc),
+            final_obs=jnp.asarray(final_obs),
+        )
+
+    def reset(self, key: Array) -> RolloutCarry:
+        seeds = np.asarray(jax.random.randint(key, (self._num_envs,), 0, 2**31 - 1))
+        raw_obs = self._base.host_reset_direct(seeds)
+        self._relay._reset_obs = jnp.asarray(raw_obs)  # pylint: disable=protected-access
+        env_state, obs = self._stack.reset(key)
+        zeros = jnp.zeros((self._num_envs,))
+        return RolloutCarry(env_state=env_state, obs=obs, ep_ret=zeros,
+                            ep_cost=zeros, ep_len=zeros)
+
+    def rollout(self, carry: RolloutCarry, buf_state: Any, policy_state: Any,
+                key: Array, steps: int, use_rand) -> Tuple[RolloutCarry, Any, EpisodeMetrics]:
+        """Collect ``steps`` host steps.  Returns the updated ring state, or —
+        in external-store mode (buffer=None) — the stacked ``(steps, B, ...)``
+        transition pytree for the caller to ship to the device ring."""
+        external = self._buffer is None
+        host_step = self._base.host_step_direct
+        use_rand = jnp.asarray(use_rand)
+        act, native, rng = self._first_fn(carry, policy_state, key, use_rand)
+        records = []
+        transitions = []
+        for t in range(steps):
+            raw = self._wrap_raw(host_step(np.asarray(native)))
+            if t + 1 < steps:
+                out, carry, record, act, native, rng = self._mid_fn(
+                    policy_state, buf_state if not external else None,
+                    carry, act, raw, rng, use_rand
+                )
+            else:
+                out, carry, record, rng = self._last_fn(
+                    policy_state, buf_state if not external else None,
+                    carry, act, raw, rng
+                )
+            if external:
+                transitions.append(out)
+            else:
+                buf_state = out
+            records.append(record)
+        done, ep_ret, ep_cost, ep_len = jax.tree.map(lambda *xs: jnp.stack(xs), *records)
+        metrics = EpisodeMetrics(done=done, ep_ret=ep_ret, ep_cost=ep_cost, ep_len=ep_len)
+        if external:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *transitions)
+            return carry, stacked, metrics
+        return carry, buf_state, metrics
+
+
+class HostEvalRunner:
+    """Deterministic evaluation episodes on a dedicated host env stack
+    (mirrors ``OffPolicyAdapter.eval_episode``, adapter/offpolicy.py:111-142,
+    without touching the training envs' host state)."""
+
+    def __init__(self, env_stack: CMDP, predict_fn) -> None:
+        self._stack, self._base, self._relay, self._to_native = _spliced(env_stack)
+        self._predict = predict_fn
+        self._num_envs = self._base.num_envs
+        self._step_fn = jax.jit(self._step)
+
+    def _step(self, ws: Any, policy_state: Any, raw_ts: TimeStep, rng: Array):
+        ws = _graft(ws, raw_ts)
+        rng, step_key, act_key = jax.random.split(rng, 3)
+        new_ws, ts = self._stack.step(ws, jnp.zeros((self._num_envs, 1)), step_key)
+        raw_r = ts.info.get('original_reward', ts.reward)
+        raw_c = ts.info.get('original_cost', ts.cost)
+        act = self._predict(policy_state, ts.obs, act_key)
+        return new_ws, self._to_native(act), raw_r, raw_c, ts.done, rng
+
+    def eval_episode(self, policy_state: Any, key: Array, max_steps: int = 1000):
+        seeds = np.asarray(jax.random.randint(key, (self._num_envs,), 0, 2**31 - 1))
+        raw_obs = self._base.host_reset_direct(seeds)
+        self._relay._reset_obs = jnp.asarray(raw_obs)  # pylint: disable=protected-access
+        ws, obs = self._stack.reset(key)
+        rng, act_key = jax.random.split(key)
+        act = self._predict(policy_state, obs, act_key)
+        native = np.asarray(self._to_native(act))
+        ep_ret = np.zeros(self._num_envs)
+        ep_cost = np.zeros(self._num_envs)
+        ep_len = np.zeros(self._num_envs)
+        alive = np.ones(self._num_envs, bool)
+        for _ in range(max_steps):
+            raw = self._wrap_raw(self._base.host_step_direct(native))
+            ws, native_j, raw_r, raw_c, done, rng = self._step_fn(ws, policy_state, raw, rng)
+            native = np.asarray(native_j)
+            live = alive.astype(np.float64)
+            ep_ret += np.asarray(raw_r) * live
+            ep_cost += np.asarray(raw_c) * live
+            ep_len += live
+            alive &= ~np.asarray(done)
+            if not alive.any():
+                break
+        return jnp.asarray(ep_ret), jnp.asarray(ep_cost), jnp.asarray(ep_len)
+
+    def _wrap_raw(self, host_out) -> TimeStep:
+        obs, reward, cost, term, trunc, final_obs = host_out
+        return TimeStep(
+            obs=jnp.asarray(obs), reward=jnp.asarray(reward), cost=jnp.asarray(cost),
+            terminated=jnp.asarray(term), truncated=jnp.asarray(trunc),
+            final_obs=jnp.asarray(final_obs),
+        )
+
+
+def _spliced(env_stack: CMDP):
+    """Splice a relay into ``env_stack``; returns (stack, base, relay, to_native)."""
+    chain: List[CMDP] = [env_stack]
+    node = env_stack
+    while isinstance(node, Wrapper):
+        node = node._env  # pylint: disable=protected-access
+        chain.append(node)
+    base = chain[-1]
+    assert getattr(base, 'host_backed', False), f'{type(base).__name__} is not host-backed'
+    relay = _RelayEnv(base)
+    stack = env_stack
+    if len(chain) >= 2:
+        chain[-2]._env = relay  # pylint: disable=protected-access
+    else:
+        stack = relay
+    scale_wrapper = next((w for w in chain if isinstance(w, ActionScale)), None)
+    if scale_wrapper is not None:
+        scale = scale_wrapper._scale  # pylint: disable=protected-access
+        offset = scale_wrapper._offset  # pylint: disable=protected-access
+        to_native = lambda a: offset + scale * a  # noqa: E731
+    else:
+        to_native = lambda a: a  # noqa: E731
+    return stack, base, relay, to_native
+
+
+__all__ = ['HostRolloutRunner', 'HostOffPolicyRunner', 'HostEvalRunner', 'find_host_base']

@@ -237,77 +237,98 @@ class DDPG(BaseAlgo):
                 'Loss/Loss_cost_critic', 'Value/cost_critic']
         return {k: jnp.zeros(()) for k in keys}
 
-    # pylint: disable-next=too-many-locals,too-many-statements
-    def _epoch_program(self, state: OffPolicyTrainState, Jc: Array, lr: Array, do_lambda: Array):
+    def _make_update(self, buf_state, lr: Array):
         algo = self._cfgs.algo_cfgs
         ac = self._actor_critic
         use_cost = bool(algo.use_cost)
         batch_size = int(algo.batch_size)
-        update_iters = int(algo.update_iters)
         policy_delay = int(algo.get('policy_delay', 1))
         polyak = float(algo.polyak)
-        start_learning = int(algo.start_learning_steps)
 
-        def make_update(buf_state):
-            def update_once(carry, key):
-                params, a_opt, r_opt, c_opt, alpha_state, extra, update_count = carry
-                skey, rkey, ckey, pikey, alkey = jax.random.split(key, 5)
-                batch = self._buffer.sample(buf_state, skey, batch_size)
-                # reward critic (reference: ddpg.py:402-447)
-                (r_loss, q_r), r_grads = jax.value_and_grad(self._reward_critic_loss, has_aux=True)(
-                    params.reward_critic, params, batch, rkey, alpha_state
+        def update_once(carry, key):
+            params, a_opt, r_opt, c_opt, alpha_state, extra, update_count = carry
+            skey, rkey, ckey, pikey, alkey = jax.random.split(key, 5)
+            batch = self._buffer.sample(buf_state, skey, batch_size)
+            # reward critic (reference: ddpg.py:402-447)
+            (r_loss, q_r), r_grads = jax.value_and_grad(self._reward_critic_loss, has_aux=True)(
+                params.reward_critic, params, batch, rkey, alpha_state
+            )
+            r_grads = self._pmean(r_grads)
+            new_rc, r_opt = _apply_tx(
+                self._reward_critic_tx, r_grads, r_opt, params.reward_critic, self._critic_lr
+            )
+            params = params.replace(reward_critic=new_rc)
+            # cost critic (reference: ddpg.py:449-496)
+            if use_cost:
+                (c_loss, q_c), c_grads = jax.value_and_grad(
+                    self._cost_critic_loss, has_aux=True
+                )(params.cost_critic, params, batch, ckey)
+                c_grads = self._pmean(c_grads)
+                new_cc, c_opt = _apply_tx(
+                    self._cost_critic_tx, c_grads, c_opt, params.cost_critic, self._critic_lr
                 )
-                r_grads = self._pmean(r_grads)
-                new_rc, r_opt = _apply_tx(
-                    self._reward_critic_tx, r_grads, r_opt, params.reward_critic, self._critic_lr
+                params = params.replace(cost_critic=new_cc)
+            else:
+                c_loss, q_c = jnp.zeros(()), jnp.zeros(())
+            update_count = update_count + 1
+
+            def actor_update(operand):
+                params, a_opt, alpha_state = operand
+                pi_loss, a_grads = jax.value_and_grad(self._loss_pi)(
+                    params.actor, params, batch['obs'], pikey, extra, alpha_state
                 )
-                params = params.replace(reward_critic=new_rc)
-                # cost critic (reference: ddpg.py:449-496)
-                if use_cost:
-                    (c_loss, q_c), c_grads = jax.value_and_grad(
-                        self._cost_critic_loss, has_aux=True
-                    )(params.cost_critic, params, batch, ckey)
-                    c_grads = self._pmean(c_grads)
-                    new_cc, c_opt = _apply_tx(
-                        self._cost_critic_tx, c_grads, c_opt, params.cost_critic, self._critic_lr
-                    )
-                    params = params.replace(cost_critic=new_cc)
-                else:
-                    c_loss, q_c = jnp.zeros(()), jnp.zeros(())
-                update_count = update_count + 1
-
-                def actor_update(operand):
-                    params, a_opt, alpha_state = operand
-                    pi_loss, a_grads = jax.value_and_grad(self._loss_pi)(
-                        params.actor, params, batch['obs'], pikey, extra, alpha_state
-                    )
-                    a_grads = self._pmean(a_grads)
-                    new_actor, new_a_opt = _apply_tx(
-                        self._actor_tx, a_grads, a_opt, params.actor, lr
-                    )
-                    params = params.replace(actor=new_actor)
-                    params = ac.polyak_update(params, polyak)
-                    alpha_state, _ = self._update_alpha(alpha_state, params, batch['obs'], alkey)
-                    return params, new_a_opt, alpha_state, pi_loss
-
-                def actor_skip(operand):
-                    params, a_opt, alpha_state = operand
-                    return params, a_opt, alpha_state, jnp.zeros(())
-
-                do_actor = (update_count % policy_delay) == 0
-                params, a_opt, alpha_state, pi_loss = jax.lax.cond(
-                    do_actor, actor_update, actor_skip, (params, a_opt, alpha_state)
+                a_grads = self._pmean(a_grads)
+                new_actor, new_a_opt = _apply_tx(
+                    self._actor_tx, a_grads, a_opt, params.actor, lr
                 )
-                metrics = {
-                    'Loss/Loss_pi': pi_loss,
-                    'Loss/Loss_reward_critic': r_loss,
-                    'Value/reward_critic': q_r,
-                    'Loss/Loss_cost_critic': c_loss,
-                    'Value/cost_critic': q_c,
-                }
-                return (params, a_opt, r_opt, c_opt, alpha_state, extra, update_count), metrics
+                params = params.replace(actor=new_actor)
+                params = ac.polyak_update(params, polyak)
+                alpha_state, _ = self._update_alpha(alpha_state, params, batch['obs'], alkey)
+                return params, new_a_opt, alpha_state, pi_loss
 
-            return update_once
+            def actor_skip(operand):
+                params, a_opt, alpha_state = operand
+                return params, a_opt, alpha_state, jnp.zeros(())
+
+            do_actor = (update_count % policy_delay) == 0
+            params, a_opt, alpha_state, pi_loss = jax.lax.cond(
+                do_actor, actor_update, actor_skip, (params, a_opt, alpha_state)
+            )
+            metrics = {
+                'Loss/Loss_pi': pi_loss,
+                'Loss/Loss_reward_critic': r_loss,
+                'Value/reward_critic': q_r,
+                'Loss/Loss_cost_critic': c_loss,
+                'Value/cost_critic': q_c,
+            }
+            return (params, a_opt, r_opt, c_opt, alpha_state, extra, update_count), metrics
+
+        return update_once
+
+    def _update_cycle_program(self, st: OffPolicyTrainState, upd_key: Array,
+                              Jc: Array, lr: Array, do_lambda: Array):
+        """One cycle's worth of gradient updates (``update_iters`` scanned
+        steps on replay samples) — shared by the fully-jitted device epoch
+        and the host-driven epoch."""
+        update_iters = int(self._cfgs.algo_cfgs.update_iters)
+        extra, _extra_metrics = self._update_extra(st.extra, Jc, do_lambda)
+        keys = jax.random.split(upd_key, update_iters)
+        init = (st.params, st.actor_opt, st.reward_critic_opt, st.cost_critic_opt,
+                st.alpha, extra, st.update_count)
+        (params, a_opt, r_opt, c_opt, alpha_state, extra, update_count), m = (
+            jax.lax.scan(self._make_update(st.buffer, lr), init, keys)
+        )
+        new_st = st.replace(
+            params=params, actor_opt=a_opt, reward_critic_opt=r_opt,
+            cost_critic_opt=c_opt, alpha=alpha_state, extra=extra,
+            update_count=update_count,
+        )
+        metrics = jax.tree.map(jnp.mean, m)
+        return new_st, metrics
+
+    # pylint: disable-next=too-many-locals,too-many-statements
+    def _epoch_program(self, state: OffPolicyTrainState, Jc: Array, lr: Array, do_lambda: Array):
+        start_learning = int(self._cfgs.algo_cfgs.start_learning_steps)
 
         def cycle(carry, cycle_key):
             st = carry
@@ -326,19 +347,7 @@ class DDPG(BaseAlgo):
             st = st.replace(rollout=rollout_carry, buffer=buf_state, global_step=global_step)
 
             def do_update(st):
-                extra, extra_metrics = self._update_extra(st.extra, Jc, do_lambda)
-                keys = jax.random.split(upd_key, update_iters)
-                init = (st.params, st.actor_opt, st.reward_critic_opt, st.cost_critic_opt,
-                        st.alpha, extra, st.update_count)
-                (params, a_opt, r_opt, c_opt, alpha_state, extra, update_count), m = (
-                    jax.lax.scan(make_update(st.buffer), init, keys)
-                )
-                new_st = st.replace(
-                    params=params, actor_opt=a_opt, reward_critic_opt=r_opt,
-                    cost_critic_opt=c_opt, alpha=alpha_state, extra=extra,
-                    update_count=update_count,
-                )
-                metrics = jax.tree.map(jnp.mean, m)
+                new_st, metrics = self._update_cycle_program(st, upd_key, Jc, lr, do_lambda)
                 return new_st, metrics, jnp.ones(())
 
             def skip_update(st):
@@ -368,6 +377,194 @@ class DDPG(BaseAlgo):
             max_steps=1000,
         )
 
+    # ---------------------------------------------------- host-backed envs
+    def _make_host_runners(self, external_store: bool = False):
+        """Host-driven collection + a SEPARATE eval env for host-backed
+        (MuJoCo) envs — evaluation must not reset the training envs' real
+        host state (see adapter/host_loop.py)."""
+        from omnisafe_tpu.adapter.host_loop import (  # pylint: disable=import-outside-toplevel
+            HostEvalRunner,
+            HostOffPolicyRunner,
+        )
+        from omnisafe_tpu.adapter.onpolicy import build_env_stack  # pylint: disable=import-outside-toplevel
+
+        self._host_runner = HostOffPolicyRunner(
+            self._adapter.env,
+            lambda params, obs, k: self._predict(params, obs, k, deterministic=False),
+            None if external_store else self._buffer,
+        )
+        eval_stack = build_env_stack(self._env_id, 1, self._cfgs.algo_cfgs)
+        self._host_eval = HostEvalRunner(
+            eval_stack,
+            lambda params, obs, k: self._predict(params, obs, k, deterministic=True),
+        )
+
+    def _update_cycle_host(self, learnable, buf_state, upd_key: Array,
+                           Jc: Array, lr: Array, do_lambda: Array):
+        """Host-mode update entry: the replay ring is a read-only input that
+        is NOT returned (returning it through jit would copy the whole ring
+        every cycle); only the mutated learnable state comes back."""
+        params, a_opt, r_opt, c_opt, alpha, extra, update_count = learnable
+        st = OffPolicyTrainState(
+            params=params, actor_opt=a_opt, reward_critic_opt=r_opt,
+            cost_critic_opt=c_opt, alpha=alpha, buffer=buf_state, rollout=None,
+            extra=extra, update_count=update_count,
+            global_step=jnp.zeros((), jnp.int32), key=upd_key,
+        )
+        new_st, metrics = self._update_cycle_program(st, upd_key, Jc, lr, do_lambda)
+        new_learnable = (new_st.params, new_st.actor_opt, new_st.reward_critic_opt,
+                         new_st.cost_critic_opt, new_st.alpha, new_st.extra,
+                         new_st.update_count)
+        return new_learnable, metrics
+
+    def _pick_learner_device(self):
+        """Resolve train_cfgs.learner_device ('auto'|'cpu'|'tpu'): the device
+        the replay ring + TD updates live on in host mode.  'auto' offloads
+        to an accelerator when one is visible; CPU-forced test environments
+        resolve to None (everything stays on CPU)."""
+        want = str(self._cfgs.train_cfgs.get('learner_device', 'auto'))
+        if want == 'cpu':
+            return None
+        accel = [d for d in jax.devices() if d.platform != 'cpu']
+        if not accel:
+            if want == 'tpu':
+                raise RuntimeError('learner_device=tpu but no accelerator is visible')
+            return None
+        return accel[0]
+
+    def _epoch_host_accel(self, state: OffPolicyTrainState, Jc: Array, lr: Array,
+                          do_lambda: Array):
+        """CPU-actor / TPU-learner epoch: the host loop owns physics and the
+        per-step policy forward on CPU; each cycle's transitions ship to the
+        accelerator in one transfer, where the ring store + the update scan
+        run as one jitted call.  Only the actor's weights come back per
+        cycle (~tens of KB), so a ~30 ms tunnel round trip is paid once per
+        ``update_cycle * vector_env_nums`` transitions, not per step."""
+        runner = self._host_runner
+        dev = self._learner_device
+        cpu = jax.devices('cpu')[0]
+        start_learning = int(self._cfgs.algo_cfgs.start_learning_steps)
+        ep_list, upd_list = [], []
+        key = state.key
+        learnable = self._accel_learnable  # lives on the accelerator
+        cpu_params = state.params
+
+        for _ in range(self._samples_per_epoch):
+            key, roll_key, upd_key = jax.random.split(key, 3)
+            use_rand = int(state.global_step) <= start_learning
+            carry, transitions, ep_m = runner.rollout(
+                state.rollout, None, cpu_params, roll_key,
+                self._update_cycle, use_rand,
+            )
+            global_step = state.global_step + self._update_cycle * self._num_envs
+            state = state.replace(rollout=carry, global_step=global_step)
+            ep_list.append(ep_m)
+
+            transitions = jax.device_put(transitions, dev)
+            do_update = int(global_step) > start_learning
+            learnable, self._accel_buffer, m = self._accel_cycle_jit(
+                learnable, self._accel_buffer, transitions,
+                jax.device_put(upd_key, dev), Jc, lr, do_lambda, do_update,
+            )
+            if do_update:
+                upd_list.append(m)
+                # refresh the CPU actor for the next cycle's behavior policy
+                cpu_params = cpu_params.replace(
+                    actor=jax.device_put(learnable[0].actor, cpu)
+                )
+
+        self._accel_learnable = learnable
+        params, a_opt, r_opt, c_opt, alpha, extra, update_count = learnable
+        state = state.replace(
+            key=key, params=jax.device_put(params, cpu),
+            actor_opt=a_opt, reward_critic_opt=r_opt, cost_critic_opt=c_opt,
+            alpha=alpha, extra=extra, update_count=update_count,
+            buffer=self._accel_buffer,  # the pre-donation handle is stale
+        )
+        ep_metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *ep_list)
+        if upd_list:
+            upd_list = jax.device_get(upd_list)
+            metrics = {k: jnp.mean(jnp.stack([m[k] for m in upd_list]))
+                       for k in upd_list[0]}
+        else:
+            metrics = self._zero_update_metrics()
+        return state, ep_metrics, metrics
+
+    def _make_accel_epoch(self, state: OffPolicyTrainState):
+        """Set up accelerator-resident learnable state + ring and the fused
+        store+update program."""
+        dev = self._learner_device
+
+        learnable = (state.params, state.actor_opt, state.reward_critic_opt,
+                     state.cost_critic_opt, state.alpha, state.extra,
+                     state.update_count)
+        self._accel_learnable = jax.device_put(learnable, dev)
+        # allocate the ring ON the accelerator (it starts as zeros; shipping
+        # the host-allocated one through the tunnel would move ~size*fields
+        # bytes for nothing)
+        with jax.default_device(dev):
+            self._accel_buffer = self._buffer.init()
+
+        def accel_cycle(learnable, buf_state, transitions, upd_key, Jc, lr,
+                        do_lambda, do_update: bool):
+            def push(bs, tr):
+                return self._buffer.store(bs, tr), ()
+
+            buf_state, _ = jax.lax.scan(push, buf_state, transitions)
+            if not do_update:
+                return learnable, buf_state, self._zero_update_metrics()
+            new_learnable, metrics = self._update_cycle_host(
+                learnable, buf_state, upd_key, Jc, lr, do_lambda
+            )
+            return new_learnable, buf_state, metrics
+
+        self._accel_cycle_jit = jax.jit(
+            accel_cycle, static_argnums=7, donate_argnums=1
+        )
+        return self._epoch_host_accel
+
+    def _epoch_host(self, update_jit, state: OffPolicyTrainState,
+                    Jc: Array, lr: Array, do_lambda: Array):
+        """Host-mode epoch: Python cycle loop (host physics per step), the
+        update scan stays one jitted call per cycle."""
+        runner = self._host_runner
+        start_learning = int(self._cfgs.algo_cfgs.start_learning_steps)
+        ep_list, upd_list = [], []
+        key = state.key
+        for _ in range(self._samples_per_epoch):
+            key, roll_key, upd_key = jax.random.split(key, 3)
+            use_rand = int(state.global_step) <= start_learning
+            carry, buf_state, ep_m = runner.rollout(
+                state.rollout, state.buffer, state.params, roll_key,
+                self._update_cycle, use_rand,
+            )
+            state = state.replace(
+                rollout=carry, buffer=buf_state,
+                global_step=state.global_step + self._update_cycle * self._num_envs,
+            )
+            ep_list.append(ep_m)
+            if int(state.global_step) > start_learning:
+                learnable = (state.params, state.actor_opt, state.reward_critic_opt,
+                             state.cost_critic_opt, state.alpha, state.extra,
+                             state.update_count)
+                (params, a_opt, r_opt, c_opt, alpha, extra, update_count), m = update_jit(
+                    learnable, state.buffer, upd_key, Jc, lr, do_lambda
+                )
+                state = state.replace(
+                    params=params, actor_opt=a_opt, reward_critic_opt=r_opt,
+                    cost_critic_opt=c_opt, alpha=alpha, extra=extra,
+                    update_count=update_count,
+                )
+                upd_list.append(m)
+        state = state.replace(key=key)
+        ep_metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *ep_list)
+        if upd_list:
+            metrics = {k: jnp.mean(jnp.stack([m[k] for m in upd_list]))
+                       for k in upd_list[0]}
+        else:
+            metrics = self._zero_update_metrics()
+        return state, ep_metrics, metrics
+
     # ------------------------------------------------------------- training
     def restore(self, checkpoint_path: str) -> None:
         """Arm mid-training resume from a saved checkpoint: model/optimizer/
@@ -380,6 +577,8 @@ class DDPG(BaseAlgo):
     def _init_train_state(self) -> OffPolicyTrainState:
         self._key, model_key, env_key = jax.random.split(self._key, 3)
         params = self._actor_critic.init(model_key)
+        runner = getattr(self, '_host_runner', None)
+        rollout = runner.reset(env_key) if runner is not None else self._adapter.reset(env_key)
         state = OffPolicyTrainState(
             params=params,
             actor_opt=self._actor_tx.init(params.actor),
@@ -387,7 +586,7 @@ class DDPG(BaseAlgo):
             cost_critic_opt=self._cost_critic_tx.init(params.cost_critic),
             alpha=self._alpha_init,
             buffer=self._buffer.init(),
-            rollout=self._adapter.reset(env_key),
+            rollout=rollout,
             extra=self._extra_init,
             update_count=jnp.zeros((), jnp.int32),
             global_step=jnp.zeros((), jnp.int32),
@@ -423,10 +622,28 @@ class DDPG(BaseAlgo):
 
     def learn(self) -> Tuple[float, float, float]:
         """(reference: ddpg.py:254-348)."""
+        from omnisafe_tpu.adapter.host_loop import (  # pylint: disable=import-outside-toplevel
+            find_host_base,
+        )
+
         start = time.time()
+        host_mode = find_host_base(self._adapter.env) is not None
+        if host_mode:
+            self._learner_device = self._pick_learner_device()
+            external_store = self._learner_device is not None
+            self._make_host_runners(external_store=external_store)
+            eval_jit = lambda st, k: self._host_eval.eval_episode(st.params, k)  # noqa: E731
+        else:
+            epoch_jit = jax.jit(self._epoch_program)
+            eval_jit = jax.jit(self._eval_program)
         state = self._init_train_state()
-        epoch_jit = jax.jit(self._epoch_program)
-        eval_jit = jax.jit(self._eval_program)
+        if host_mode:
+            if self._learner_device is not None:
+                epoch_jit = self._make_accel_epoch(state)
+                state = state.replace(buffer=self._accel_buffer)
+            else:
+                update_jit = jax.jit(self._update_cycle_host)
+                epoch_jit = lambda st, Jc, lr, dl: self._epoch_host(update_jit, st, Jc, lr, dl)  # noqa: E731
         warmup_epochs = int(self._cfgs.algo_cfgs.get('warmup_epochs', -1))
         eval_episodes = int(self._cfgs.train_cfgs.get('eval_episodes', 1))
         decay = bool(self._cfgs.model_cfgs.get('linear_lr_decay', False))
@@ -481,9 +698,10 @@ class DDPG(BaseAlgo):
             )
             from omnisafe_tpu.utils.checkpoint import resume_state_dict  # pylint: disable=import-outside-toplevel
 
+            # lazy: materialized only when a checkpoint is actually written
             self._logger.setup_saver({
-                'params': jax.device_get(state.params),
-                'resume': resume_state_dict(state, exclude=('buffer', 'rollout')),
+                'params': lambda: state.params,
+                'resume': lambda: resume_state_dict(state, exclude=('buffer', 'rollout')),
                 'config': self._cfgs.todict(),
             })
             if (epoch + 1) % int(self._cfgs.logger_cfgs.save_model_freq) == 0:

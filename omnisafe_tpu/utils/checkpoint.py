@@ -49,11 +49,13 @@ def restore_into(template: Any, payload: Dict[str, Any]) -> Any:
 def resume_state_dict(state: Any, exclude: tuple = ()) -> Dict[str, Any]:
     """Serializable resume payload for a train-state dataclass, dropping the
     heavy transient fields (replay rings, rollout carries) named in
-    ``exclude`` — those restart fresh on resume."""
-    sd = serialization.to_state_dict(jax.device_get(state))
+    ``exclude`` — those restart fresh on resume.  Excluded fields are pruned
+    BEFORE the device fetch so a device-resident replay ring is never pulled
+    across the (possibly tunneled) host link just to be discarded."""
+    sd = serialization.to_state_dict(state)
     for name in exclude:
         sd.pop(name, None)
-    return sd
+    return jax.device_get(sd)
 
 
 def restore_resume(state: Any, payload: Dict[str, Any]) -> Any:
