@@ -155,6 +155,8 @@ _TRAIN_CFGS_SPEC = [
     ('num_devices', (int,), _POS),
     ('parallel', (int,), _POS),
     ('eval_episodes', (int,), _NONNEG),
+    ('learner_device', (str,), (lambda v: v in {'auto', 'cpu', 'tpu'},
+                                "one of ['auto', 'cpu', 'tpu']")),
 ]
 
 _LAGRANGE_CFGS_SPEC = [
