@@ -35,6 +35,9 @@ def main() -> int:
     parser.add_argument('--env', default='SafetyHalfCheetahVelocity-v1-mujoco')
     parser.add_argument('--steps', type=int, default=10_000_000)
     parser.add_argument('--vector-env-nums', type=int, default=16)
+    parser.add_argument('--off-policy', action='store_true',
+                        help='off-policy protocol: 1e6 transitions, UTD 1, '
+                             'TPU learner when visible')
     parser.add_argument('--out', default=os.path.join(os.path.dirname(__file__), 'parity'))
     args = parser.parse_args()
 
@@ -45,18 +48,46 @@ def main() -> int:
         print(f'[parity] {tag} already complete, skipping', flush=True)
         return 0
 
-    # host physics + tiny MLPs: CPU is the right backend for the whole run
-    jax.config.update('jax_platforms', 'cpu')
+    if args.off_policy:
+        # CPU default for the actor-side host loop; the TPU (when visible via
+        # PYTHONPATH including the axon plugin) hosts the ring + TD updates
+        jax.config.update('jax_default_device', jax.devices('cpu')[0])
+    else:
+        # host physics + tiny MLPs: CPU is the right backend for the whole run
+        jax.config.update('jax_platforms', 'cpu')
     import omnisafe_tpu  # pylint: disable=import-outside-toplevel
 
     work_dir = os.path.join(args.out, '_work', tag)
     shutil.rmtree(work_dir, ignore_errors=True)
-    agent = omnisafe_tpu.Agent(args.algo, args.env, custom_cfgs={
-        'seed': args.seed,
-        'train_cfgs': {'total_steps': args.steps, 'vector_env_nums': args.vector_env_nums},
-        'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
-                        'save_model_freq': 100},
-    })
+    if args.off_policy:
+        # reference protocol: 1e6 transitions, 1 update per transition.
+        # 16 envs x update_cycle=5 -> 80-transition cycles with 80 updates
+        # (UTD 1 preserved); lambda_lr is scaled by the cycle size because
+        # the lambda Adam step runs once per cycle instead of once per
+        # transition (reference: ddpg_lag.py:58-66 ascends every update call).
+        steps = args.steps if args.steps != 10_000_000 else 62_500
+        custom = {
+            'seed': args.seed,
+            'train_cfgs': {'total_steps': steps,
+                           'vector_env_nums': args.vector_env_nums},
+            'algo_cfgs': {'steps_per_epoch': 500, 'update_cycle': 5,
+                          'update_iters': 5 * args.vector_env_nums,
+                          'warmup_epochs': 25},
+            'lagrange_cfgs': {'lambda_lr': 8.0e-4},
+            'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
+                            'save_model_freq': 50},
+        }
+        if args.algo in ('DDPG', 'TD3', 'SAC'):
+            custom.pop('lagrange_cfgs')
+    else:
+        custom = {
+            'seed': args.seed,
+            'train_cfgs': {'total_steps': args.steps,
+                           'vector_env_nums': args.vector_env_nums},
+            'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
+                            'save_model_freq': 100},
+        }
+    agent = omnisafe_tpu.Agent(args.algo, args.env, custom_cfgs=custom)
     ep_ret, ep_cost, ep_len = agent.learn()
 
     # final performance = mean over the last 10 epochs' episode windows
@@ -71,6 +102,12 @@ def main() -> int:
     tail = rows[-10:]
     final_ret = sum(float(r['Metrics/EpRet']) for r in tail) / len(tail)
     final_cost = sum(float(r['Metrics/EpCost']) for r in tail) / len(tail)
+    extra = {}
+    if 'Metrics/TestEpRet' in rows[-1]:
+        extra['final_window_test_ret'] = sum(
+            float(r['Metrics/TestEpRet']) for r in tail) / len(tail)
+        extra['final_window_test_cost'] = sum(
+            float(r['Metrics/TestEpCost']) for r in tail) / len(tail)
 
     os.makedirs(out_dir, exist_ok=True)
     for name in ('progress.csv', 'config.json'):
@@ -83,7 +120,7 @@ def main() -> int:
             'total_steps': args.steps, 'vector_env_nums': args.vector_env_nums,
             'final_window_ret': final_ret, 'final_window_cost': final_cost,
             'last_epoch_ret': ep_ret, 'last_epoch_cost': ep_cost,
-            'ep_len': ep_len,
+            'ep_len': ep_len, **extra,
         }, handle, indent=2)
     print(f'[parity] {tag}: ret={final_ret:.2f} cost={final_cost:.2f}', flush=True)
     return 0
