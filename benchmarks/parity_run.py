@@ -72,7 +72,10 @@ def main() -> int:
                            'vector_env_nums': args.vector_env_nums},
             'algo_cfgs': {'steps_per_epoch': 500, 'update_cycle': 5,
                           'update_iters': 5 * args.vector_env_nums,
-                          'warmup_epochs': 25},
+                          'warmup_epochs': 25,
+                          # reference ring capacity is 1e6 TRANSITIONS; ours
+                          # is per-env slots x num_envs
+                          'size': 1_000_000 // args.vector_env_nums},
             'lagrange_cfgs': {'lambda_lr': 8.0e-4},
             'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
                             'save_model_freq': 50},
