@@ -58,7 +58,32 @@ def main() -> int:
     import omnisafe_tpu  # pylint: disable=import-outside-toplevel
 
     work_dir = os.path.join(args.out, '_work', tag)
-    shutil.rmtree(work_dir, ignore_errors=True)
+    # mid-run resume: if a previous invocation of this exact cell left a
+    # train_state checkpoint behind (driver killed mid-queue), continue from
+    # it instead of restarting the 1e7-step run.  Epochs after the newest
+    # checkpoint are replayed; the old curve up to the checkpoint is stitched
+    # onto the new one so the recorded progress.csv stays a single 0..N curve.
+    resume_ckpt, resume_epoch, old_rows = None, -1, []
+    if not args.off_policy:
+        import re  # pylint: disable=import-outside-toplevel
+
+        ckpts = []
+        for root, _dirs, files in os.walk(work_dir):
+            for name in files:
+                m = re.fullmatch(r'epoch-(\d+)\.msgpack', name)
+                if m:
+                    ckpts.append((int(m.group(1)), os.path.join(root, name)))
+        if ckpts:
+            resume_epoch, resume_ckpt = max(ckpts)
+            old_progress = os.path.join(
+                os.path.dirname(os.path.dirname(resume_ckpt)), 'progress.csv')
+            with open(old_progress, encoding='utf-8') as handle:
+                old_rows = [r for r in csv.DictReader(handle)
+                            if float(r.get('Train/Epoch', -1)) <= resume_epoch]
+            print(f'[parity] {tag}: resuming from epoch {resume_epoch} '
+                  f'({resume_ckpt})', flush=True)
+    if resume_ckpt is None:
+        shutil.rmtree(work_dir, ignore_errors=True)
     if args.off_policy:
         # reference protocol: 1e6 transitions, 1 update per transition.
         # 16 envs x update_cycle=5 -> 80-transition cycles with 80 updates
@@ -90,7 +115,17 @@ def main() -> int:
             'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
                             'save_model_freq': 100},
         }
+    if resume_ckpt is not None:
+        old_cfg_path = os.path.join(
+            os.path.dirname(os.path.dirname(resume_ckpt)), 'config.json')
+        with open(old_cfg_path, encoding='utf-8') as handle:
+            old_cfg = json.load(handle)
+        per_epoch = int(old_cfg['algo_cfgs']['steps_per_epoch'])
+        done_steps = (resume_epoch + 1) * per_epoch
+        custom['train_cfgs']['total_steps'] = args.steps - done_steps
     agent = omnisafe_tpu.Agent(args.algo, args.env, custom_cfgs=custom)
+    if resume_ckpt is not None:
+        agent.agent.restore(resume_ckpt)
     ep_ret, ep_cost, ep_len = agent.learn()
 
     # final performance = mean over the last 10 epochs' episode windows
@@ -102,6 +137,10 @@ def main() -> int:
     run_dir = sorted(run_dirs)[-1]
     with open(os.path.join(run_dir, 'progress.csv'), encoding='utf-8') as handle:
         rows = list(csv.DictReader(handle))
+    if old_rows:
+        for row in rows:
+            row['Train/Epoch'] = str(float(row['Train/Epoch']) + resume_epoch + 1)
+        rows = old_rows + rows
     tail = rows[-10:]
     final_ret = sum(float(r['Metrics/EpRet']) for r in tail) / len(tail)
     final_cost = sum(float(r['Metrics/EpCost']) for r in tail) / len(tail)
@@ -113,10 +152,20 @@ def main() -> int:
             float(r['Metrics/TestEpCost']) for r in tail) / len(tail)
 
     os.makedirs(out_dir, exist_ok=True)
-    for name in ('progress.csv', 'config.json'):
-        src = os.path.join(run_dir, name)
-        if os.path.exists(src):
-            shutil.copy(src, os.path.join(out_dir, name))
+    if old_rows:
+        fields = list(rows[-1].keys())
+        with open(os.path.join(out_dir, 'progress.csv'), 'w',
+                  encoding='utf-8', newline='') as handle:
+            writer = csv.DictWriter(handle, fieldnames=fields, extrasaction='ignore')
+            writer.writeheader()
+            writer.writerows(rows)
+        shutil.copy(os.path.join(run_dir, 'config.json'),
+                    os.path.join(out_dir, 'config.json'))
+    else:
+        for name in ('progress.csv', 'config.json'):
+            src = os.path.join(run_dir, name)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(out_dir, name))
     with open(summary_path, 'w', encoding='utf-8') as handle:
         json.dump({
             'algo': args.algo, 'env': args.env, 'seed': args.seed,

@@ -30,6 +30,7 @@ from omnisafe_tpu.common.logger import Logger
 from omnisafe_tpu.envs.core import make
 from omnisafe_tpu.envs.wrappers import ActionRepeat, ActionScale, AutoReset, TimeLimit, Vectorize
 from omnisafe_tpu.models.ensemble import DynamicsEnsemble, DynamicsState
+from omnisafe_tpu.utils.config import configured_cost_limit
 
 Array = jax.Array
 
@@ -132,6 +133,10 @@ class PETS(BaseAlgo):
         log.register_key('Metrics/EpRet', window_length=window, min_and_max=True)
         log.register_key('Metrics/EpCost', window_length=window, min_and_max=True)
         log.register_key('Metrics/EpLen', window_length=window, min_and_max=True)
+        # BASELINE target: cost-limit hit rate tracked per config
+        self._cost_limit_for_metrics = configured_cost_limit(cfgs)
+        if self._cost_limit_for_metrics is not None:
+            log.register_key('Metrics/CostLimitHitRate', window_length=window)
         log.register_key('Train/Epoch')
         log.register_key('TotalEnvSteps')
         log.register_key('Loss/DynamicsTrainMseLoss')
@@ -328,13 +333,20 @@ class PETS(BaseAlgo):
                 rollout_time += time.time() - t0
                 done_np = np.asarray(done).reshape(-1)
                 if done_np.any():
+                    finished_costs = np.asarray(ep_cost).reshape(-1)[done_np]
                     self._logger.store(
                         **{
                             'Metrics/EpRet': np.asarray(ep_ret).reshape(-1)[done_np],
-                            'Metrics/EpCost': np.asarray(ep_cost).reshape(-1)[done_np],
+                            'Metrics/EpCost': finished_costs,
                             'Metrics/EpLen': np.asarray(ep_len).reshape(-1)[done_np],
                         }
                     )
+                    limit = getattr(self, '_cost_limit_for_metrics', None)
+                    if limit is not None:
+                        self._logger.store(
+                            **{'Metrics/CostLimitHitRate':
+                               (finished_costs <= limit).astype(np.float64)}
+                        )
                 if use_planner:
                     self._logger.store(**{k: float(v) for k, v in plan_info.items()})
                 t0 = time.time()

@@ -36,6 +36,7 @@ from omnisafe_tpu.algorithms.registry import registry
 from omnisafe_tpu.common.buffer.offpolicy import ReplayBuffer, ReplayBufferState
 from omnisafe_tpu.common.logger import Logger
 from omnisafe_tpu.models.actor_critic import ACQParams, ConstraintActorQCritic
+from omnisafe_tpu.utils.config import configured_cost_limit
 
 Array = jax.Array
 
@@ -136,6 +137,11 @@ class DDPG(BaseAlgo):
         log.register_key('Time/Evaluate')
         log.register_key('Time/Epoch')
         log.register_key('Time/FPS')
+        # BASELINE target: cost-limit hit rate tracked per config — fraction
+        # of finished training episodes in the window with EpCost <= limit.
+        self._cost_limit_for_metrics = configured_cost_limit(cfgs)
+        if self._cost_limit_for_metrics is not None:
+            log.register_key('Metrics/CostLimitHitRate', window_length=window)
         self._register_extra_keys(log)
 
     def _register_extra_keys(self, log: Logger) -> None:
@@ -612,13 +618,19 @@ class DDPG(BaseAlgo):
     def _store_episode_metrics(self, ep_metrics, prefix: str = 'Metrics/Ep') -> None:
         done = np.asarray(ep_metrics.done).reshape(-1)
         if done.any():
+            ep_cost = np.asarray(ep_metrics.ep_cost).reshape(-1)[done]
             self._logger.store(
                 **{
                     f'{prefix}Ret': np.asarray(ep_metrics.ep_ret).reshape(-1)[done],
-                    f'{prefix}Cost': np.asarray(ep_metrics.ep_cost).reshape(-1)[done],
+                    f'{prefix}Cost': ep_cost,
                     f'{prefix}Len': np.asarray(ep_metrics.ep_len).reshape(-1)[done],
                 }
             )
+            limit = getattr(self, '_cost_limit_for_metrics', None)
+            if limit is not None and prefix == 'Metrics/Ep':
+                self._logger.store(
+                    **{'Metrics/CostLimitHitRate': (ep_cost <= limit).astype(np.float64)}
+                )
 
     def learn(self) -> Tuple[float, float, float]:
         """(reference: ddpg.py:254-348)."""

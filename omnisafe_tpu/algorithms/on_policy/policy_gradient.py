@@ -40,6 +40,7 @@ from omnisafe_tpu.algorithms.registry import registry
 from omnisafe_tpu.common.buffer.advantages import OnPolicyBatch, compute_batch
 from omnisafe_tpu.common.logger import Logger
 from omnisafe_tpu.models.actor_critic import ACParams, ConstraintActorCritic
+from omnisafe_tpu.utils.config import configured_cost_limit
 from omnisafe_tpu.utils.math import global_mean_std
 from omnisafe_tpu.utils.schedule import PiecewiseSchedule
 
@@ -174,6 +175,11 @@ class PolicyGradient(BaseAlgo):
         log.register_key('Time/Update')
         log.register_key('Time/Epoch')
         log.register_key('Time/FPS')
+        # BASELINE target: cost-limit hit rate tracked per config — fraction
+        # of finished episodes in the window satisfying EpCost <= limit.
+        self._cost_limit_for_metrics = configured_cost_limit(cfgs)
+        if self._cost_limit_for_metrics is not None:
+            log.register_key('Metrics/CostLimitHitRate', window_length=window)
         self._register_extra_keys(log)
 
     def _register_extra_keys(self, log: Logger) -> None:
@@ -488,13 +494,19 @@ class PolicyGradient(BaseAlgo):
         ep_metrics = jax.device_get(ep_metrics)
         done = np.asarray(ep_metrics.done).reshape(-1)
         if done.any():
+            ep_cost = np.asarray(ep_metrics.ep_cost).reshape(-1)[done]
             self._logger.store(
                 **{
                     'Metrics/EpRet': np.asarray(ep_metrics.ep_ret).reshape(-1)[done],
-                    'Metrics/EpCost': np.asarray(ep_metrics.ep_cost).reshape(-1)[done],
+                    'Metrics/EpCost': ep_cost,
                     'Metrics/EpLen': np.asarray(ep_metrics.ep_len).reshape(-1)[done],
                 }
             )
+            limit = getattr(self, '_cost_limit_for_metrics', None)
+            if limit is not None:
+                self._logger.store(
+                    **{'Metrics/CostLimitHitRate': (ep_cost <= limit).astype(np.float64)}
+                )
 
     def learn(self) -> Tuple[float, float, float]:
         """Epoch loop (reference: policy_gradient.py:238-306)."""

@@ -237,4 +237,24 @@ def check_all_configs(cfgs: Config, algo_type: str) -> None:
             pass
 
 
-__all__ = ['Config', 'ConfigError', 'get_default_kwargs_yaml', 'check_all_configs']
+def configured_cost_limit(cfgs: Config) -> 'float | None':
+    """The run's episodic cost limit, wherever the algorithm keeps it.
+
+    Lagrangian/PID algorithms carry it in ``lagrange_cfgs``; trust-region,
+    penalty, and model-based algorithms in ``algo_cfgs``.  Unconstrained
+    baselines (PPO, TRPO, ...) have none — returns ``None``.
+    """
+    for group_name in ('lagrange_cfgs', 'algo_cfgs'):
+        group = cfgs.get(group_name)
+        if isinstance(group, dict) and group.get('cost_limit') is not None:
+            return float(group['cost_limit'])
+    return None
+
+
+__all__ = [
+    'Config',
+    'ConfigError',
+    'get_default_kwargs_yaml',
+    'check_all_configs',
+    'configured_cost_limit',
+]

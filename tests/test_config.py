@@ -104,3 +104,17 @@ def test_int_accepted_where_float_expected():
     cfgs.algo_cfgs.entropy_coef = 0
     cfgs.algo_cfgs.gamma = 1
     check_all_configs(cfgs, 'on-policy')
+
+
+def test_configured_cost_limit_locations():
+    from omnisafe_tpu.utils.config import configured_cost_limit
+
+    # Lagrangian: lagrange_cfgs wins
+    assert configured_cost_limit(
+        get_default_kwargs_yaml('PPOLag', 'Test-v0', 'on-policy')) == 25.0
+    # trust-region: algo_cfgs
+    assert configured_cost_limit(
+        get_default_kwargs_yaml('CPO', 'Test-v0', 'on-policy')) == 25.0
+    # unconstrained: none
+    assert configured_cost_limit(
+        get_default_kwargs_yaml('PPO', 'Test-v0', 'on-policy')) is None

@@ -332,3 +332,24 @@ def test_checkpoint_artifacts(tmp_path):
     assert (run_dir / 'config.json').exists()
     assert (run_dir / 'progress.csv').exists()
     assert list((run_dir / 'save').glob('*.msgpack'))
+
+
+def test_cost_limit_hit_rate_logged(tmp_path):
+    """BASELINE target: cost-limit hit rate tracked per config — constrained
+    algorithms log Metrics/CostLimitHitRate in [0, 1]; unconstrained ones
+    don't register the key."""
+    import csv
+
+    cfg = {k: dict(v) for k, v in TINY.items()}
+    cfg['logger_cfgs'] = {'use_tensorboard': False, 'log_dir': str(tmp_path)}
+    agent = omnisafe_tpu.Agent('PPOLag', 'Test-v0', custom_cfgs=cfg)
+    agent.learn()
+    run_dir = agent.agent._logger.log_dir
+    with open(os.path.join(run_dir, 'progress.csv'), encoding='utf-8') as handle:
+        rows = list(csv.DictReader(handle))
+    assert rows, 'no epochs logged'
+    vals = [float(r['Metrics/CostLimitHitRate']) for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+    plain = omnisafe_tpu.Agent('PPO', 'Test-v0', custom_cfgs=cfg)
+    assert 'Metrics/CostLimitHitRate' not in plain.agent._logger._data
