@@ -455,8 +455,24 @@ class DDPG(BaseAlgo):
         learnable = self._accel_learnable  # lives on the accelerator
         cpu_params = state.params
 
+        # Per-EPOCH device residency: Jc/lr/do_lambda are constant across the
+        # epoch's cycles and the update PRNG key evolves on-device inside the
+        # cycle program, so each is shipped through the (tunneled) host link
+        # once per epoch — not once per 80-transition cycle.  The remaining
+        # per-cycle traffic is the transition batch in and the actor weights
+        # out, with the weight fetch issued asynchronously and consumed by
+        # the NEXT cycle's first policy forward (same freshness as a blocking
+        # fetch; the round trip overlaps env stepping).
+        key, seed_key = jax.random.split(key)
+        dev_key = jax.device_put(seed_key, dev)
+        dev_jc, dev_lr, dev_do_lambda = jax.device_put((Jc, lr, do_lambda), dev)
+
+        pending_actor = None
         for _ in range(self._samples_per_epoch):
-            key, roll_key, upd_key = jax.random.split(key, 3)
+            key, roll_key = jax.random.split(key)
+            if pending_actor is not None:
+                cpu_params = cpu_params.replace(actor=pending_actor)
+                pending_actor = None
             use_rand = int(state.global_step) <= start_learning
             carry, transitions, ep_m = runner.rollout(
                 state.rollout, None, cpu_params, roll_key,
@@ -468,16 +484,13 @@ class DDPG(BaseAlgo):
 
             transitions = jax.device_put(transitions, dev)
             do_update = int(global_step) > start_learning
-            learnable, self._accel_buffer, m = self._accel_cycle_jit(
-                learnable, self._accel_buffer, transitions,
-                jax.device_put(upd_key, dev), Jc, lr, do_lambda, do_update,
+            learnable, self._accel_buffer, dev_key, m = self._accel_cycle_jit(
+                learnable, self._accel_buffer, transitions, dev_key,
+                dev_jc, dev_lr, dev_do_lambda, do_update,
             )
             if do_update:
                 upd_list.append(m)
-                # refresh the CPU actor for the next cycle's behavior policy
-                cpu_params = cpu_params.replace(
-                    actor=jax.device_put(learnable[0].actor, cpu)
-                )
+                pending_actor = jax.device_put(learnable[0].actor, cpu)
 
         self._accel_learnable = learnable
         params, a_opt, r_opt, c_opt, alpha, extra, update_count = learnable
@@ -511,21 +524,23 @@ class DDPG(BaseAlgo):
         with jax.default_device(dev):
             self._accel_buffer = self._buffer.init()
 
-        def accel_cycle(learnable, buf_state, transitions, upd_key, Jc, lr,
+        def accel_cycle(learnable, buf_state, transitions, dev_key, Jc, lr,
                         do_lambda, do_update: bool):
+            upd_key, next_key = jax.random.split(dev_key)
+
             def push(bs, tr):
                 return self._buffer.store(bs, tr), ()
 
             buf_state, _ = jax.lax.scan(push, buf_state, transitions)
             if not do_update:
-                return learnable, buf_state, self._zero_update_metrics()
+                return learnable, buf_state, next_key, self._zero_update_metrics()
             new_learnable, metrics = self._update_cycle_host(
                 learnable, buf_state, upd_key, Jc, lr, do_lambda
             )
-            return new_learnable, buf_state, metrics
+            return new_learnable, buf_state, next_key, metrics
 
         self._accel_cycle_jit = jax.jit(
-            accel_cycle, static_argnums=7, donate_argnums=1
+            accel_cycle, static_argnums=7, donate_argnums=(1, 3)
         )
         return self._epoch_host_accel
 

@@ -175,3 +175,32 @@ def test_host_eval_runner_masks_first_episode():
     np.testing.assert_allclose(np.asarray(length), EP_LEN)
     np.testing.assert_allclose(np.asarray(ret), EP_LEN)
     np.testing.assert_allclose(np.asarray(cost), 3.0)
+
+
+def test_accel_epoch_end_to_end(monkeypatch, tmp_path):
+    """The CPU-actor / device-learner epoch path trains end-to-end with the
+    replay ring + TD updates on a SECOND device (virtual CPU device stands in
+    for the TPU): per-epoch device residency of Jc/lr/key, per-cycle
+    transition ship + async actor fetch."""
+    import omnisafe_tpu
+    from omnisafe_tpu.algorithms.off_policy.ddpg import DDPG
+
+    assert len(jax.devices()) >= 2, 'conftest forces an 8-device CPU mesh'
+    monkeypatch.setattr(DDPG, '_pick_learner_device', lambda self: jax.devices()[1])
+
+    agent = omnisafe_tpu.Agent('SACLag', 'FakeHost-v0', custom_cfgs={
+        'train_cfgs': {'total_steps': 120, 'vector_env_nums': B,
+                       'eval_episodes': 0},
+        'algo_cfgs': {'steps_per_epoch': 20, 'update_cycle': 5,
+                      'update_iters': 2, 'batch_size': 16, 'size': 64,
+                      'start_learning_steps': 30},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': str(tmp_path)},
+        'model_cfgs': {'actor': {'hidden_sizes': [8, 8]},
+                       'critic': {'hidden_sizes': [8, 8]}},
+    })
+    algo = agent.agent
+    ret, cost, length = agent.learn()
+    assert algo._learner_device is jax.devices()[1]
+    assert np.isfinite(ret) and np.isfinite(cost) and np.isfinite(length)
+    # the ring really lives on the learner device
+    assert algo._accel_buffer.data['obs'].devices() == {jax.devices()[1]}
