@@ -1,19 +1,31 @@
 """Benchmark-parity training runs on physics-exact (host MuJoCo) envs.
 
-Reproduces the reference's published on-policy benchmark protocol
+Reproduces the reference's published benchmark protocol
 (reference: benchmarks/on-policy/README.md:99-110 — 1e7 steps, default
-hyperparameters, final performance averaged across seeds) on the
-``-mujoco`` host-backed velocity envs, which step the same Gymnasium
+hyperparameters; benchmarks/off-policy/README.md:39-54 — 1e6 transitions)
+on the ``-mujoco`` host-backed velocity envs, which step the same Gymnasium
 MuJoCo v4 physics the reference's safety_gymnasium velocity tasks subclass.
 
 Usage:  python benchmarks/parity_run.py --algo PPOLag --seed 0 \
             [--env SafetyHalfCheetahVelocity-v1-mujoco] [--steps 10000000]
 
 Each run trains in-process and writes
-``benchmarks/parity/{algo}-{env}-seed{seed}/`` containing the full run dir
-(progress.csv, config.json, checkpoints) plus ``summary.json`` with the
-final-window episode return/cost.  Existing completed runs are skipped so a
-queue of invocations is resumable.
+``benchmarks/parity/{algo}-{env}-seed{seed}/`` containing the stitched
+progress.csv, config.json, and ``summary.json`` with two readings:
+
+* ``final_window_*`` — mean over the last 10 training epochs' episode
+  windows (the learning-curve endpoint), and
+* ``final_eval_*`` — the reference's table protocol: the FINAL saved policy
+  evaluated deterministically for 10 episodes through the Evaluator
+  (reference: benchmarks/off-policy/README.md:290 "10 assessment
+  iterations"; evaluate_saved_policy.py).
+
+Mid-run resume: checkpoints carry GLOBAL epoch numbers and the trainers
+resume the epoch loop at ``start_epoch`` with total_steps unchanged, so
+epoch-indexed schedules (linear lr decay, std annealing) continue exactly
+and the stitched progress.csv is equivalent to an uninterrupted run.
+Completed work dirs (all epochs present) skip training and go straight to
+summary assembly, so re-invoking any cell is idempotent.
 """
 
 from __future__ import annotations
@@ -21,14 +33,54 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import math
 import os
+import re
 import shutil
 import sys
 
-import jax
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
 
 
-def main() -> int:
+def find_checkpoints(work_dir: str):
+    """All (global_epoch, path) train-state checkpoints under work_dir."""
+    ckpts = []
+    for root, _dirs, files in os.walk(work_dir):
+        for name in files:
+            m = re.fullmatch(r'epoch-(\d+)\.msgpack', name)
+            if m:
+                ckpts.append((int(m.group(1)), os.path.join(root, name)))
+    return sorted(ckpts)
+
+
+def collect_rows(work_dir: str):
+    """All progress rows across the work dir's run dirs, keyed and deduped by
+    global Train/Epoch (later run dirs win — they re-ran those epochs)."""
+    run_dirs = []
+    for root, _dirs, files in os.walk(work_dir):
+        if 'progress.csv' in files:
+            run_dirs.append(root)
+    by_epoch = {}
+    fields: list = []
+    for run_dir in sorted(run_dirs):  # run-dir names embed launch time
+        with open(os.path.join(run_dir, 'progress.csv'), encoding='utf-8') as handle:
+            reader = csv.DictReader(handle)
+            for row in reader:
+                try:
+                    epoch = int(float(row['Train/Epoch']))
+                except (KeyError, TypeError, ValueError):
+                    continue
+                by_epoch[epoch] = row
+            for name in reader.fieldnames or []:
+                if name not in fields:
+                    fields.append(name)
+    rows = [by_epoch[e] for e in sorted(by_epoch)]
+    return rows, fields, sorted(run_dirs)
+
+
+def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-many-locals
     parser = argparse.ArgumentParser()
     parser.add_argument('--algo', required=True)
     parser.add_argument('--seed', type=int, required=True)
@@ -38,6 +90,10 @@ def main() -> int:
     parser.add_argument('--off-policy', action='store_true',
                         help='off-policy protocol: 1e6 transitions, UTD 1, '
                              'TPU learner when visible')
+    parser.add_argument('--eval-episodes', type=int, default=10)
+    parser.add_argument('--reeval', action='store_true',
+                        help='augment an existing summary with the final-policy '
+                             'evaluation protocol (no training)')
     parser.add_argument('--out', default=os.path.join(os.path.dirname(__file__), 'parity'))
     args = parser.parse_args()
 
@@ -45,7 +101,31 @@ def main() -> int:
     out_dir = os.path.join(args.out, tag)
     summary_path = os.path.join(out_dir, 'summary.json')
     if os.path.exists(summary_path):
-        print(f'[parity] {tag} already complete, skipping', flush=True)
+        if not args.reeval:
+            print(f'[parity] {tag} already complete, skipping', flush=True)
+            return 0
+        with open(summary_path, encoding='utf-8') as handle:
+            summary = json.load(handle)
+        if 'final_eval_ret' in summary:
+            print(f'[parity] {tag} already has final_eval, skipping', flush=True)
+            return 0
+        jax.config.update('jax_platforms', 'cpu')
+        import omnisafe_tpu  # pylint: disable=import-outside-toplevel
+
+        work_dir = os.path.join(args.out, '_work', tag)
+        _rows, _fields, run_dirs = collect_rows(work_dir)
+        evaluator = omnisafe_tpu.Evaluator()
+        evaluator.load_saved(run_dirs[-1])
+        eval_ret, eval_cost, eval_len = evaluator.evaluate(
+            num_episodes=args.eval_episodes, seed=10_000 + args.seed
+        )
+        summary.update(final_eval_ret=eval_ret, final_eval_cost=eval_cost,
+                       final_eval_len=eval_len,
+                       final_eval_episodes=args.eval_episodes)
+        with open(summary_path, 'w', encoding='utf-8') as handle:
+            json.dump(summary, handle, indent=2)
+        print(f'[parity] {tag}: eval ret={eval_ret:.2f} cost={eval_cost:.2f}',
+              flush=True)
         return 0
 
     if args.off_policy:
@@ -58,39 +138,16 @@ def main() -> int:
     import omnisafe_tpu  # pylint: disable=import-outside-toplevel
 
     work_dir = os.path.join(args.out, '_work', tag)
-    # mid-run resume: if a previous invocation of this exact cell left a
-    # train_state checkpoint behind (driver killed mid-queue), continue from
-    # it instead of restarting the 1e7-step run.  Epochs after the newest
-    # checkpoint are replayed; the old curve up to the checkpoint is stitched
-    # onto the new one so the recorded progress.csv stays a single 0..N curve.
-    resume_ckpt, resume_epoch, old_rows = None, -1, []
-    if not args.off_policy:
-        import re  # pylint: disable=import-outside-toplevel
+    steps = args.steps
+    if args.off_policy and args.steps == 10_000_000:
+        steps = 62_500  # x16 envs = 1e6 transitions (reference protocol)
 
-        ckpts = []
-        for root, _dirs, files in os.walk(work_dir):
-            for name in files:
-                m = re.fullmatch(r'epoch-(\d+)\.msgpack', name)
-                if m:
-                    ckpts.append((int(m.group(1)), os.path.join(root, name)))
-        if ckpts:
-            resume_epoch, resume_ckpt = max(ckpts)
-            old_progress = os.path.join(
-                os.path.dirname(os.path.dirname(resume_ckpt)), 'progress.csv')
-            with open(old_progress, encoding='utf-8') as handle:
-                old_rows = [r for r in csv.DictReader(handle)
-                            if float(r.get('Train/Epoch', -1)) <= resume_epoch]
-            print(f'[parity] {tag}: resuming from epoch {resume_epoch} '
-                  f'({resume_ckpt})', flush=True)
-    if resume_ckpt is None:
-        shutil.rmtree(work_dir, ignore_errors=True)
     if args.off_policy:
         # reference protocol: 1e6 transitions, 1 update per transition.
         # 16 envs x update_cycle=5 -> 80-transition cycles with 80 updates
         # (UTD 1 preserved); lambda_lr is scaled by the cycle size because
         # the lambda Adam step runs once per cycle instead of once per
         # transition (reference: ddpg_lag.py:58-66 ascends every update call).
-        steps = args.steps if args.steps != 10_000_000 else 62_500
         custom = {
             'seed': args.seed,
             'train_cfgs': {'total_steps': steps,
@@ -103,78 +160,104 @@ def main() -> int:
                           'size': 1_000_000 // args.vector_env_nums},
             'lagrange_cfgs': {'lambda_lr': 8.0e-4},
             'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
-                            'save_model_freq': 50},
+                            'save_model_freq': 25},
         }
         if args.algo in ('DDPG', 'TD3', 'SAC'):
             custom.pop('lagrange_cfgs')
+        steps_per_epoch = 500 * args.vector_env_nums
     else:
         custom = {
             'seed': args.seed,
-            'train_cfgs': {'total_steps': args.steps,
+            'train_cfgs': {'total_steps': steps,
                            'vector_env_nums': args.vector_env_nums},
             'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
-                            'save_model_freq': 100},
+                            'save_model_freq': 50},
         }
-    if resume_ckpt is not None:
-        old_cfg_path = os.path.join(
-            os.path.dirname(os.path.dirname(resume_ckpt)), 'config.json')
-        with open(old_cfg_path, encoding='utf-8') as handle:
-            old_cfg = json.load(handle)
-        per_epoch = int(old_cfg['algo_cfgs']['steps_per_epoch'])
-        done_steps = (resume_epoch + 1) * per_epoch
-        custom['train_cfgs']['total_steps'] = args.steps - done_steps
-    agent = omnisafe_tpu.Agent(args.algo, args.env, custom_cfgs=custom)
-    if resume_ckpt is not None:
-        agent.agent.restore(resume_ckpt)
-    ep_ret, ep_cost, ep_len = agent.learn()
+        steps_per_epoch = 20_000  # on-policy YAML default
+    total_epochs = steps // steps_per_epoch
 
-    # final performance = mean over the last 10 epochs' episode windows
-    run_dirs = []
-    for root, _dirs, files in os.walk(work_dir):
-        if 'progress.csv' in files:
-            run_dirs.append(root)
-    assert run_dirs, f'no progress.csv under {work_dir}'
-    run_dir = sorted(run_dirs)[-1]
-    with open(os.path.join(run_dir, 'progress.csv'), encoding='utf-8') as handle:
-        rows = list(csv.DictReader(handle))
-    if old_rows:
-        for row in rows:
-            row['Train/Epoch'] = str(float(row['Train/Epoch']) + resume_epoch + 1)
-        rows = old_rows + rows
+    # -- mid-run resume ----------------------------------------------------
+    ckpts = find_checkpoints(work_dir)
+    resume_epoch, resume_ckpt = (ckpts[-1]) if ckpts else (-1, None)
+    start_epoch = resume_epoch + 1
+    if resume_ckpt is None:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+    if start_epoch >= total_epochs:
+        print(f'[parity] {tag}: work dir already trained through epoch '
+              f'{resume_epoch}; assembling summary only', flush=True)
+        agent = None
+        ep_ret = ep_cost = ep_len = float('nan')
+    else:
+        agent = omnisafe_tpu.Agent(args.algo, args.env, custom_cfgs=custom)
+        if resume_ckpt is not None:
+            print(f'[parity] {tag}: resuming at global epoch {start_epoch} '
+                  f'({resume_ckpt})', flush=True)
+            agent.agent.restore(resume_ckpt, start_epoch=start_epoch)
+        ep_ret, ep_cost, ep_len = agent.learn()
+
+    # -- stitch progress + summarize --------------------------------------
+    rows, fields, run_dirs = collect_rows(work_dir)
+    assert rows, f'no progress rows under {work_dir}'
     tail = rows[-10:]
-    final_ret = sum(float(r['Metrics/EpRet']) for r in tail) / len(tail)
-    final_cost = sum(float(r['Metrics/EpCost']) for r in tail) / len(tail)
+
+    def window_mean(key: str):
+        vals = []
+        for row in tail:
+            try:
+                vals.append(float(row[key]))
+            except (KeyError, TypeError, ValueError):
+                continue
+        return sum(vals) / len(vals) if vals else float('nan')
+
+    final_ret = window_mean('Metrics/EpRet')
+    final_cost = window_mean('Metrics/EpCost')
     extra = {}
     if 'Metrics/TestEpRet' in rows[-1]:
-        extra['final_window_test_ret'] = sum(
-            float(r['Metrics/TestEpRet']) for r in tail) / len(tail)
-        extra['final_window_test_cost'] = sum(
-            float(r['Metrics/TestEpCost']) for r in tail) / len(tail)
+        extra['final_window_test_ret'] = window_mean('Metrics/TestEpRet')
+        extra['final_window_test_cost'] = window_mean('Metrics/TestEpCost')
 
     os.makedirs(out_dir, exist_ok=True)
-    if old_rows:
-        fields = list(rows[-1].keys())
-        with open(os.path.join(out_dir, 'progress.csv'), 'w',
-                  encoding='utf-8', newline='') as handle:
-            writer = csv.DictWriter(handle, fieldnames=fields, extrasaction='ignore')
-            writer.writeheader()
-            writer.writerows(rows)
-        shutil.copy(os.path.join(run_dir, 'config.json'),
-                    os.path.join(out_dir, 'config.json'))
-    else:
-        for name in ('progress.csv', 'config.json'):
-            src = os.path.join(run_dir, name)
-            if os.path.exists(src):
-                shutil.copy(src, os.path.join(out_dir, name))
+    with open(os.path.join(out_dir, 'progress.csv'), 'w',
+              encoding='utf-8', newline='') as handle:
+        writer = csv.DictWriter(handle, fieldnames=fields, restval='nan',
+                                extrasaction='ignore')
+        writer.writeheader()
+        writer.writerows(rows)
+    cfg_src = os.path.join(run_dirs[-1], 'config.json')
+    if os.path.exists(cfg_src):
+        shutil.copy(cfg_src, os.path.join(out_dir, 'config.json'))
+
+    # -- reference table protocol: evaluate the final saved policy ---------
+    if args.eval_episodes > 0:
+        try:
+            evaluator = omnisafe_tpu.Evaluator()
+            evaluator.load_saved(run_dirs[-1])  # latest ckpt = final
+            eval_ret, eval_cost, eval_len = evaluator.evaluate(
+                num_episodes=args.eval_episodes, seed=10_000 + args.seed
+            )
+            extra.update(final_eval_ret=eval_ret, final_eval_cost=eval_cost,
+                         final_eval_len=eval_len,
+                         final_eval_episodes=args.eval_episodes)
+        except Exception as exc:  # pragma: no cover - keep the run's result
+            print(f'[parity] {tag}: final-policy evaluation failed: {exc!r}',
+                  flush=True)
+            extra.update(final_eval_error=repr(exc))
+
+    summary = {
+        'algo': args.algo, 'env': args.env, 'seed': args.seed,
+        'total_steps': steps, 'vector_env_nums': args.vector_env_nums,
+        'final_window_ret': final_ret, 'final_window_cost': final_cost,
+        'last_epoch_ret': ep_ret, 'last_epoch_cost': ep_cost,
+        'ep_len': ep_len, **extra,
+    }
+    summary = {k: (None if isinstance(v, float) and math.isnan(v) else v)
+               for k, v in summary.items()}
     with open(summary_path, 'w', encoding='utf-8') as handle:
-        json.dump({
-            'algo': args.algo, 'env': args.env, 'seed': args.seed,
-            'total_steps': args.steps, 'vector_env_nums': args.vector_env_nums,
-            'final_window_ret': final_ret, 'final_window_cost': final_cost,
-            'last_epoch_ret': ep_ret, 'last_epoch_cost': ep_cost,
-            'ep_len': ep_len, **extra,
-        }, handle, indent=2)
-    print(f'[parity] {tag}: ret={final_ret:.2f} cost={final_cost:.2f}', flush=True)
+        json.dump(summary, handle, indent=2)
+    print(f'[parity] {tag}: window ret={final_ret:.2f} cost={final_cost:.2f} '
+          f'eval ret={extra.get("final_eval_ret", float("nan")):.2f} '
+          f'cost={extra.get("final_eval_cost", float("nan")):.2f}', flush=True)
     return 0
 
 

@@ -11,10 +11,12 @@ Faithful reference quirks preserved: the DDPG TD target bootstraps with the
 *current* actor, not the target actor (reference: ddpg.py:425-427); twin
 pessimism applies to the reward critic only.
 
-Deviation: Lagrangian subclasses ascend λ on a mean episode cost frozen at
-epoch boundaries (the reference re-reads its logger window every update call;
-the window moves on the scale of episodes, not updates, so the dynamics
-match).
+λ cadence: the reference re-reads its logger EpCost window every update call
+(reference: ddpg_lag.py:58-66), so λ reacts to an unsafe episode within ~one
+episode of experience.  The host-driven epochs reproduce that by maintaining
+the same completed-episode cost window host-side and shipping a fresh window
+mean to the learner each sample cycle; only the fully-jitted pure-JAX epoch
+(used for the analytic test envs) freezes Jc at epoch boundaries.
 """
 
 from __future__ import annotations
@@ -142,6 +144,12 @@ class DDPG(BaseAlgo):
         self._cost_limit_for_metrics = configured_cost_limit(cfgs)
         if self._cost_limit_for_metrics is not None:
             log.register_key('Metrics/CostLimitHitRate', window_length=window)
+        # host-side mirror of the logger's EpCost window, advanced per sample
+        # cycle so λ sees a fresh Jc every cycle (reference: ddpg_lag.py:58-66
+        # re-reads the window every update call)
+        from collections import deque  # pylint: disable=import-outside-toplevel
+
+        self._jc_window: Any = deque(maxlen=window)
         self._register_extra_keys(log)
 
     def _register_extra_keys(self, log: Logger) -> None:
@@ -236,6 +244,18 @@ class DDPG(BaseAlgo):
                       ) -> Tuple[Any, Dict[str, Array]]:
         del Jc, do_lambda
         return extra, {}
+
+    def _fresh_jc(self, ep_m) -> float:
+        """Advance the host-side completed-episode cost window with this
+        cycle's completions and return its mean — the quantity the
+        reference's per-update λ ascent reads from its logger window
+        (reference: ddpg_lag.py:63-66)."""
+        done = np.asarray(ep_m.done).reshape(-1)
+        if done.any():
+            self._jc_window.extend(
+                np.asarray(ep_m.ep_cost).reshape(-1)[done].tolist()
+            )
+        return float(np.mean(self._jc_window)) if self._jc_window else 0.0
 
     # ------------------------------------------------------------- programs
     def _zero_update_metrics(self) -> Dict[str, Array]:
@@ -455,17 +475,19 @@ class DDPG(BaseAlgo):
         learnable = self._accel_learnable  # lives on the accelerator
         cpu_params = state.params
 
-        # Per-EPOCH device residency: Jc/lr/do_lambda are constant across the
+        # Per-EPOCH device residency: lr/do_lambda are constant across the
         # epoch's cycles and the update PRNG key evolves on-device inside the
         # cycle program, so each is shipped through the (tunneled) host link
-        # once per epoch — not once per 80-transition cycle.  The remaining
-        # per-cycle traffic is the transition batch in and the actor weights
-        # out, with the weight fetch issued asynchronously and consumed by
-        # the NEXT cycle's first policy forward (same freshness as a blocking
-        # fetch; the round trip overlaps env stepping).
+        # once per epoch — not once per 80-transition cycle.  The fresh Jc
+        # scalar rides the SAME transfer as the transition batch each cycle
+        # (reference λ cadence, ddpg_lag.py:58-66), so it costs no extra
+        # round trip.  The actor-weight fetch is issued asynchronously and
+        # consumed by the NEXT cycle's first policy forward (same freshness
+        # as a blocking fetch; the round trip overlaps env stepping).
         key, seed_key = jax.random.split(key)
         dev_key = jax.device_put(seed_key, dev)
-        dev_jc, dev_lr, dev_do_lambda = jax.device_put((Jc, lr, do_lambda), dev)
+        dev_lr, dev_do_lambda = jax.device_put((lr, do_lambda), dev)
+        del Jc  # superseded by the per-cycle fresh window mean
 
         pending_actor = None
         for _ in range(self._samples_per_epoch):
@@ -482,7 +504,10 @@ class DDPG(BaseAlgo):
             state = state.replace(rollout=carry, global_step=global_step)
             ep_list.append(ep_m)
 
-            transitions = jax.device_put(transitions, dev)
+            jc_now = self._fresh_jc(ep_m)
+            transitions, dev_jc = jax.device_put(
+                (transitions, jnp.float32(jc_now)), dev
+            )
             do_update = int(global_step) > start_learning
             learnable, self._accel_buffer, dev_key, m = self._accel_cycle_jit(
                 learnable, self._accel_buffer, transitions, dev_key,
@@ -564,12 +589,13 @@ class DDPG(BaseAlgo):
                 global_step=state.global_step + self._update_cycle * self._num_envs,
             )
             ep_list.append(ep_m)
+            jc_now = jnp.asarray(self._fresh_jc(ep_m))
             if int(state.global_step) > start_learning:
                 learnable = (state.params, state.actor_opt, state.reward_critic_opt,
                              state.cost_critic_opt, state.alpha, state.extra,
                              state.update_count)
                 (params, a_opt, r_opt, c_opt, alpha, extra, update_count), m = update_jit(
-                    learnable, state.buffer, upd_key, Jc, lr, do_lambda
+                    learnable, state.buffer, upd_key, jc_now, lr, do_lambda
                 )
                 state = state.replace(
                     params=params, actor_opt=a_opt, reward_critic_opt=r_opt,
@@ -587,13 +613,15 @@ class DDPG(BaseAlgo):
         return state, ep_metrics, metrics
 
     # ------------------------------------------------------------- training
-    def restore(self, checkpoint_path: str) -> None:
+    def restore(self, checkpoint_path: str, start_epoch: int = 0) -> None:
         """Arm mid-training resume from a saved checkpoint: model/optimizer/
         multiplier state and step counters are restored; the replay ring and
         the env rollout carry restart fresh (they are transient).  The
         reference's checkpoints are save-only (reference:
-        omnisafe/common/logger.py:175-194)."""
+        omnisafe/common/logger.py:175-194).  ``start_epoch`` resumes the
+        epoch loop at that GLOBAL epoch with ``total_steps`` unchanged."""
         self._restore_path = checkpoint_path
+        self._start_epoch = int(start_epoch)
 
     def _init_train_state(self) -> OffPolicyTrainState:
         self._key, model_key, env_key = jax.random.split(self._key, 3)
@@ -675,7 +703,9 @@ class DDPG(BaseAlgo):
         eval_episodes = int(self._cfgs.train_cfgs.get('eval_episodes', 1))
         decay = bool(self._cfgs.model_cfgs.get('linear_lr_decay', False))
 
-        for epoch in range(self._epochs):
+        start_epoch = int(getattr(self, '_start_epoch', 0))
+        self._logger.set_epoch(start_epoch)
+        for epoch in range(start_epoch, self._epochs):
             epoch_start = time.time()
             Jc = self._logger.get_stats('Metrics/EpCost')[0]
             lr = self._actor_lr * max(1.0 - epoch / max(self._epochs, 1), 0.0) if decay else self._actor_lr

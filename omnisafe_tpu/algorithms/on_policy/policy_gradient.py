@@ -436,11 +436,18 @@ class PolicyGradient(BaseAlgo):
         return new_state, metrics
 
     # ------------------------------------------------------------- training
-    def restore(self, checkpoint_path: str) -> None:
+    def restore(self, checkpoint_path: str, start_epoch: int = 0) -> None:
         """Arm mid-training resume from a saved ``train_state`` checkpoint —
         a capability the reference lacks (its checkpoints are save-only,
-        reference: omnisafe/common/logger.py:175-194)."""
+        reference: omnisafe/common/logger.py:175-194).
+
+        ``start_epoch`` is the GLOBAL epoch to continue from: the epoch loop
+        resumes there with ``total_steps`` unchanged, so epoch-indexed
+        schedules (linear lr decay, std annealing) continue exactly where the
+        interrupted run left off, and Train/Epoch / TotalEnvSteps / checkpoint
+        names stay on the global axis."""
         self._restore_path = checkpoint_path
+        self._start_epoch = int(start_epoch)
 
     def _init_train_state(self) -> OnPolicyTrainState:
         self._key, model_key, env_key = jax.random.split(self._key, 3)
@@ -541,7 +548,9 @@ class PolicyGradient(BaseAlgo):
             'config': self._cfgs.todict(),
         })
 
-        for epoch in range(self._epochs):
+        start_epoch = int(getattr(self, '_start_epoch', 0))
+        self._logger.set_epoch(start_epoch)
+        for epoch in range(start_epoch, self._epochs):
             epoch_start = time.time()
             state = self._set_std(state, epoch)
             state = self._pre_epoch(state, epoch)

@@ -87,6 +87,12 @@ class Logger:
     def log_dir(self) -> str:
         return self._log_dir
 
+    def set_epoch(self, epoch: int) -> None:
+        """Seed the epoch counter for mid-training resume so checkpoint names
+        (``epoch-N``) and TB/wandb step axes continue the GLOBAL epoch
+        numbering instead of restarting at 0."""
+        self._epoch = int(epoch)
+
     # -- key registry -----------------------------------------------------
     def register_key(
         self,
