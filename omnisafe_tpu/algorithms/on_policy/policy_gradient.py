@@ -290,12 +290,22 @@ class PolicyGradient(BaseAlgo):
         Python loop owns physics, one small jitted program per step handles
         normalizers + policy, and batch assembly stays jitted (see
         adapter/host_loop.py for why io_callback-in-scan is wrong here)."""
+        from omnisafe_tpu.adapter.host_fast import (  # pylint: disable=import-outside-toplevel
+            FastHostOnPolicyRunner,
+            Ineligible,
+        )
         from omnisafe_tpu.adapter.host_loop import (  # pylint: disable=import-outside-toplevel
             HostRolloutRunner,
         )
 
         assert self._num_devices == 1, 'host-backed envs are single-process'
-        runner = HostRolloutRunner(self._adapter.env, self._actor_critic)
+        try:
+            # numpy fast path for the standard stack (physics-bound; see
+            # adapter/host_fast.py) — falls back to the generic jitted-step
+            # runner for Saute/Simmer stacks and non-gaussian actors
+            runner = FastHostOnPolicyRunner(self._adapter.env, self._actor_critic)
+        except Ineligible:
+            runner = HostRolloutRunner(self._adapter.env, self._actor_critic)
         self._host_runner = runner
         assemble_jit = jax.jit(self._assemble)
 
