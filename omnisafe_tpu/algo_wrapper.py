@@ -35,6 +35,17 @@ class AlgoWrapper:
             raise NotImplementedError(f'{algo} is not a registered algorithm')
         self.cfgs = self._init_config(custom_cfgs, train_terminal_cfgs)
         self._init_checks()
+        parallel = int(self.cfgs.train_cfgs.get('parallel', 1))
+        if parallel > 1:
+            # the torchrun-equivalent process boundary (reference:
+            # algo_wrapper.py:149-170 + utils/distributed.py:83-139): the
+            # parent re-launches sys.argv as N coordinated processes and
+            # exits inside fork(); children join the JAX runtime here and
+            # run the same shard_map programs over the global mesh.
+            from omnisafe_tpu.parallel.launch import fork, maybe_initialize  # pylint: disable=import-outside-toplevel
+
+            fork(parallel)
+            maybe_initialize()
         self.agent = registry.get(algo)(env_id=env_id, cfgs=self.cfgs)
 
     def _init_config(self, custom_cfgs, train_terminal_cfgs) -> Config:

@@ -507,8 +507,17 @@ class PolicyGradient(BaseAlgo):
         return state.replace(params=state.params.replace(actor=actor))
 
     def _store_episode_metrics(self, ep_metrics) -> None:
-        # one batched transfer instead of a round trip per field
-        ep_metrics = jax.device_get(ep_metrics)
+        if jax.process_count() > 1:
+            # all processes see the global episode set, so the logger windows
+            # (and the Jc every rank feeds its λ/trust-region update) stay
+            # identical — the reference's dist_statistics_scalar placement
+            # (reference: onpolicy_buffer.py:231-236, logger.py:344-374)
+            from omnisafe_tpu.parallel.launch import gather_pytree  # pylint: disable=import-outside-toplevel
+
+            ep_metrics = gather_pytree(ep_metrics)
+        else:
+            # one batched transfer instead of a round trip per field
+            ep_metrics = jax.device_get(ep_metrics)
         done = np.asarray(ep_metrics.done).reshape(-1)
         if done.any():
             ep_cost = np.asarray(ep_metrics.ep_cost).reshape(-1)[done]
@@ -536,25 +545,52 @@ class PolicyGradient(BaseAlgo):
             self._make_host_rollout() if find_host_base(self._adapter.env) is not None else None
         )
         state = self._init_train_state()
+        multiproc = jax.process_count() > 1
         if self._num_devices > 1:
             # SPMD over the dp mesh axis (reference's torchrun DP, compiled in)
             from omnisafe_tpu.parallel.onpolicy import (  # pylint: disable=import-outside-toplevel
                 make_distributed_programs,
                 make_mesh,
+                make_state_spec,
             )
 
             mesh = make_mesh(self._num_devices)
             rollout_jit, update_jit = make_distributed_programs(self, mesh, state)
+            if multiproc:
+                # every process computed the identical full state (the
+                # sync_params analog); lift it onto the cross-process mesh
+                from omnisafe_tpu.parallel.launch import globalize_state  # pylint: disable=import-outside-toplevel
+
+                state = globalize_state(
+                    state, make_state_spec(state, self._adapter.num_envs), mesh
+                )
         else:
             rollout_jit = host_rollout or jax.jit(self._rollout_program)
             # the assembled batch is consumed by the update and never reused;
             # donating it lets XLA recycle the epoch's largest buffer in place
             update_jit = jax.jit(self._update_program, donate_argnums=1)
+        def ckpt_view(tree):
+            """Full-state view for serialization.  On a multi-process mesh
+            the dp-sharded rollout leaves are not locally addressable; every
+            rank allgathers them (collective — all ranks save together) so
+            each serializes the complete state."""
+            if not multiproc:
+                return tree
+            from omnisafe_tpu.parallel.launch import gather_pytree  # pylint: disable=import-outside-toplevel
+
+            raw = jax.tree.map(
+                lambda l: jax.random.key_data(l)
+                if hasattr(l, 'dtype') and jax.dtypes.issubdtype(l.dtype, jax.dtypes.prng_key)
+                else l,
+                tree,
+            )
+            return gather_pytree(raw)
+
         # lazy closures: ``state`` is rebound each epoch and only materialized
         # (device_get) when a checkpoint is actually written
         self._logger.setup_saver({
             'params': lambda: state.params,
-            'train_state': lambda: state,
+            'train_state': lambda: ckpt_view(state),
             'config': self._cfgs.todict(),
         })
 

@@ -36,6 +36,13 @@ class Logger:
         config: Any = None,
     ) -> None:
         self._log_dir = os.path.join(output_dir, exp_name, f'seed-{seed:03d}-{int(time.time())}')
+        try:  # one run dir per process under multi-process launch
+            import jax  # pylint: disable=import-outside-toplevel
+
+            if jax.process_count() > 1:
+                self._log_dir = os.path.join(self._log_dir, f'rank{jax.process_index()}')
+        except Exception:  # pragma: no cover - jax optional at this layer
+            pass
         os.makedirs(self._log_dir, exist_ok=True)
         self._epoch = 0
         self._first_row = True

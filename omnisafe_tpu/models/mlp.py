@@ -32,7 +32,9 @@ _INITS = {
     'xavier_normal': nn.initializers.glorot_normal(),
     'glorot': nn.initializers.glorot_uniform(),
     'xavier_uniform': nn.initializers.glorot_uniform(),
-    'orthogonal': nn.initializers.orthogonal(jnp.sqrt(2.0)),
+    # note: plain float, not jnp.sqrt — a jnp call here would initialize the
+    # XLA backend at import time, which breaks jax.distributed.initialize
+    'orthogonal': nn.initializers.orthogonal(2.0 ** 0.5),
 }
 
 
