@@ -72,43 +72,77 @@ def bench_model_based() -> None:
 
 
 def bench_pallas_roofline() -> None:
+    """Scan-kernel bandwidth + the environment's achievable ceiling.
+
+    Timing rules learned the hard way on the tunneled chip: (a) chain
+    dependent kernels inside one jit (per-call dispatch otherwise
+    dominates); (b) force a VALUE fetch of the scalar result —
+    block_until_ready alone has been observed returning without the remote
+    computation having run; (c) use a FRESH input per timed call — repeat
+    executions with identical inputs return cached results.  A zero-compute
+    pallas copy kernel moving the same bytes is measured identically: its
+    number is the achievable ceiling to compare the scan against (the gap
+    to the ~819 GB/s nameplate is the execution environment, not kernel
+    structure).
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    from omnisafe_tpu.ops.pallas_scan import linear_reverse_scan
+    from omnisafe_tpu.ops.pallas_scan import _pallas_linear_reverse_scan
 
-    # (T, B) shaped like a large on-policy epoch; the kernel reads a + b and
-    # writes y once each -> bytes moved = 3 * T * B * 4
     t_len, batch = 4096, 2048
-    a = jnp.full((t_len, batch), 0.99, jnp.float32)
-    b = jnp.ones((t_len, batch), jnp.float32)
-
-    # chain REPS dependent kernel invocations inside one jit so per-call
-    # tunnel latency and async dispatch cannot distort the timing
     reps = 50
+    gbytes = 3 * t_len * batch * 4 / 1e9
+    # a in (0.1, 0.3) keeps 50 chained scans bounded in float32
+    a = jax.random.uniform(jax.random.key(0), (t_len, batch), jnp.float32, 0.1, 0.3)
+
+    def copy_kernel(a_ref, b_ref, out_ref):
+        out_ref[:] = a_ref[:] + b_ref[:] * 0.5
 
     @jax.jit
-    def chained(a, b):
-        def body(y, _):
-            return linear_reverse_scan(a, y), ()
-        y, _ = jax.lax.scan(body, b, None, length=reps)
-        return y
+    def copy_run(a, b):
+        spec = pl.BlockSpec((256, 128), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            copy_kernel, out_shape=jax.ShapeDtypeStruct(a.shape, jnp.float32),
+            grid=(batch // 128, t_len // 256), in_specs=[spec, spec], out_specs=spec,
+        )(a, b)
 
-    chained(a, b).block_until_ready()
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        chained(a, b).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times) / reps
-    gbytes = 3 * t_len * batch * 4 / 1e9
-    achieved = gbytes / best
+    def chained(step):
+        @jax.jit
+        def fn(a, b):
+            def body(y, _):
+                return step(a, y), ()
+            y, _ = jax.lax.scan(body, b, None, length=reps)
+            return jnp.sum(y)
+        return fn
+
+    def measure(fn):
+        float(fn(a, jax.random.normal(jax.random.key(7), (t_len, batch))))  # compile
+        times = []
+        for i in range(5):
+            b = jax.random.normal(jax.random.key(100 + i), (t_len, batch))
+            b.block_until_ready()
+            t0 = time.perf_counter()
+            float(fn(a, b))
+            times.append((time.perf_counter() - t0) / reps)
+        return gbytes / min(times)
+
+    scan_fn = chained(lambda a, y: _pallas_linear_reverse_scan(
+        a, y, jnp.zeros((batch,))))
+    copy_fn = chained(copy_run)
+    scan_gbps = measure(scan_fn)
+    copy_gbps = measure(copy_fn)
     print(json.dumps({
         'metric': 'pallas_scan_gbps',
-        'value': round(achieved, 1),
-        'unit': f'GB/s achieved on (T={t_len}, B={batch}) discount-cumsum '
-                '(v5e HBM peak ~819 GB/s)',
-        'vs_baseline': None,
+        'value': round(scan_gbps, 1),
+        'unit': f'GB/s on (T={t_len}, B={batch}) discount-cumsum; achievable '
+                f'ceiling (pallas copy, same bytes) measured {copy_gbps:.0f} '
+                'GB/s; v5e nameplate ~819 GB/s',
+        'vs_baseline': round(scan_gbps / copy_gbps, 3),
     }), flush=True)
 
 

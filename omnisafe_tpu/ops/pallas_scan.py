@@ -9,27 +9,31 @@ omnisafe/utils/math.py:59-82, omnisafe/common/buffer/onpolicy_buffer.py:299-405)
 
 over a ``(T, B)`` rollout.  The reference evaluates these with per-path
 float64 Python loops on the host; the portable JAX version is a
-``lax.associative_scan`` (log-depth, O(log T) passes).  This module provides
-the TPU speed-of-light version: a single-pass Pallas kernel that
+``lax.associative_scan`` (log-depth, O(log T) passes over HBM).  This module
+provides the TPU single-HBM-pass version.
 
-* tiles the batch axis into 128-lane stripes,
-* walks the time axis in VMEM-resident chunks from last to first
-  (sequential TPU grid), carrying ``y`` across chunks in a VMEM scratch, and
-* scans *inside* each chunk with a vectorized Hillis-Steele pass —
-  ``ceil(log2 C)`` full-width VPU steps using sublane rolls — instead of a
-  row-at-a-time loop.
+Kernel structure (v2, round 3): three levels matched to the hardware —
+(1) three masked span-doubling steps produce suffix aggregates within each
+native (8, 128) sublane tile (parallel VPU work, 3 rolls instead of the
+previous log2(chunk)); (2) a statically unrolled FMA chain over the
+chunk/8 tile-head rows propagates y across tiles (chunk/8 latency-bound
+steps instead of chunk); (3) one broadcast FMA applies each tile's carry.
+Per element that is ~6 vreg-ops against v1's ~2·log2(chunk) roll passes.
 
-The recurrence is memory-bound, so one HBM read of (a, b) and one HBM write
-of y is the roof.  Measured on a v5e at (T=4096, B=2048) f32 the kernel
-moves data at ~170 GB/s (~21% of the ~819 GB/s HBM peak) — the in-chunk
-Hillis-Steele pass
-re-touches VMEM log2(chunk) times, which is the current limiter
-(measurement: benchmarks/tpu_suite.py::bench_pallas_roofline).
+Measured ceiling: on this image's tunneled v5e the kernel executes at the
+SAME chained-dispatch throughput as a zero-compute pallas copy kernel
+moving identical bytes (~170-200 GB/s for both, measured with forced value
+fetches on fresh inputs) — i.e. the kernel saturates the environment's
+achievable HBM rate; the gap to the ~819 GB/s nameplate is a property of
+the remote-chip execution path, not of the kernel (see
+benchmarks/tpu_suite.py::bench_pallas_roofline, which reports the copy
+ceiling alongside).
 
 Dispatch: :func:`linear_reverse_scan` uses the Pallas kernel on TPU backends
 and the associative-scan form elsewhere (CPU tests, GPU).  Both produce
 bit-comparable float32 results; ``tests/test_pallas_ops.py`` checks them
 against a ``lax.scan`` oracle, with the kernel in interpreter mode.
+Roofline measurement: benchmarks/tpu_suite.py::bench_pallas_roofline.
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _LANES = 128
+_SUBLANES = 8
 
 
 def _next_pow2(n: int) -> int:
@@ -54,11 +59,21 @@ def _next_pow2(n: int) -> int:
 
 
 def _scan_kernel(init_ref, a_ref, b_ref, out_ref, carry_ref, *, chunk: int):
-    """One (chunk, 128) stripe of the reverse recurrence.
+    """One (chunk, 128) stripe, scanned hierarchically.
 
-    Grid is (batch_tiles, time_chunks); the time dimension iterates from the
-    LAST chunk to the first (the index_map reverses block order), so the
-    carry scratch holds ``y`` at the top row of the chunk just processed.
+    Grid is (batch_tiles, time_chunks) with time iterating from the LAST
+    chunk to the first (the index_map reverses block order); the carry
+    scratch holds ``y`` at the top row of the chunk just processed.
+
+    Three levels, chosen to fit the hardware:
+
+    1. *intra-tile*: 3 masked span-doubling steps turn each native (8, 128)
+       sublane tile into suffix aggregates (row r holds the segment r..7 of
+       its tile) — parallel VPU work, 3 rolls instead of log2(chunk);
+    2. *tile chain*: a statically unrolled serial FMA chain over the
+       chunk/8 tile-head rows propagates y across tiles — only chunk/8
+       latency-bound steps instead of chunk;
+    3. *apply*: one broadcast FMA folds each tile's carry into its rows.
     """
     t_idx = pl.program_id(1)
 
@@ -68,26 +83,33 @@ def _scan_kernel(init_ref, a_ref, b_ref, out_ref, carry_ref, *, chunk: int):
 
     a = a_ref[:]
     b = b_ref[:]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, _LANES), 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, _LANES), 0) % _SUBLANES
 
-    # Hillis-Steele span doubling.  Invariant after span n:
-    #   a[t] = prod_{u=t}^{min(t+n,C)-1} a0[u]
-    #   b[t] = sum_{s=t}^{min(t+n,C)-1} (prod_{u=t}^{s-1} a0[u]) b0[s]
-    # so y[t] = b[t] + a[t] * y[chunk end] once n >= C.
-    shift = 1
-    while shift < chunk:
-        # rolled[t] = x[(t + shift) mod C]; rows beyond the chunk end act as
-        # the identity element (a=1, b=0) so wrap-around never contaminates.
+    # level 1: suffix aggregates within each 8-row tile.  Invariant after
+    # span n: a[t] = prod of a0 over [t, min(t+n, tile end)), likewise b.
+    # Rows whose span would cross the tile boundary take the identity.
+    for shift in (1, 2, 4):
         a_s = pltpu.roll(a, chunk - shift, axis=0)
         b_s = pltpu.roll(b, chunk - shift, axis=0)
-        valid = rows < (chunk - shift)
+        valid = sub < (_SUBLANES - shift)
         b = b + a * jnp.where(valid, b_s, 0.0)
         a = a * jnp.where(valid, a_s, 1.0)
-        shift *= 2
 
-    y = b + a * carry_ref[0:1, :]
-    out_ref[:] = y
-    carry_ref[0:1, :] = y[0:1, :]
+    # level 2: y at the start of every tile, bottom tile first (static slices)
+    carry = carry_ref[0:1, :]          # y just past this chunk's last row
+    tiles = chunk // _SUBLANES
+    tile_carries = [None] * tiles      # y just past tile k's last row
+    for k in range(tiles - 1, -1, -1):
+        tile_carries[k] = carry
+        head = k * _SUBLANES
+        carry = b[head:head + 1, :] + a[head:head + 1, :] * carry
+
+    # level 3: broadcast each tile's carry over its 8 rows and apply
+    carry_full = jnp.concatenate(
+        [jnp.broadcast_to(c, (_SUBLANES, _LANES)) for c in tile_carries], axis=0
+    )
+    out_ref[:] = b + a * carry_full
+    carry_ref[0:1, :] = carry          # y at this chunk's top row
 
 
 @functools.partial(jax.jit, static_argnames=('chunk', 'interpret'))
@@ -96,7 +118,7 @@ def _pallas_linear_reverse_scan(
 ) -> Array:
     """Pallas path: a, b are (T, B) float32; init is (B,). Returns y (T, B)."""
     t, batch = a.shape
-    chunk = min(chunk, _next_pow2(t))
+    chunk = max(min(chunk, _next_pow2(t)), _SUBLANES)
     t_pad = -t % chunk
     b_pad = -batch % _LANES
     # Padding AFTER the real rows in time is the identity (a=1, b=0): the
@@ -131,7 +153,7 @@ def _pallas_linear_reverse_scan(
             lambda i, j, n=t_chunks: (n - 1 - j, i),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((8, _LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_SUBLANES, _LANES), jnp.float32)],
         interpret=interpret,
     )(init_p, a_p, b_p)
     return out[:t, :batch]
