@@ -311,14 +311,21 @@ class Evaluator:
 
     # ------------------------------------------------------------- render
     def render(self, num_episodes: int = 1, save_replay_path: Optional[str] = None,
-               seed: int = 0) -> None:
-        """Trajectory plots for navigation envs (reference's moviepy pixel
-        rendering has no counterpart for analytic envs — reference:
-        evaluator.py:511-629)."""
+               seed: int = 0, video: bool = True, fps: int = 25,
+               stride: int = 4) -> None:
+        """Episode replays for navigation envs: a trajectory PNG plus an
+        animated GIF per episode (the counterpart of the reference's moviepy
+        pixel recording, reference: evaluator.py:511-629 — these analytic
+        envs have no camera, so the replay is the world-frame scene: agent
+        trail, goal, hazards, with the frame border flashing on cost).
+
+        ``video=False`` skips the GIF (PNG only); ``stride`` subsamples env
+        steps per animation frame to keep files small."""
         assert self._env is not None, 'call load_saved first'
         import matplotlib
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt  # pylint: disable=import-outside-toplevel
+        from matplotlib import animation  # pylint: disable=import-outside-toplevel
 
         raw = self._raw_env
         if not hasattr(raw, '_dynamics'):
@@ -329,26 +336,56 @@ class Evaluator:
             key, reset_key = jax.random.split(key)
             state, obs = raw.reset(reset_key)
             positions = [np.asarray(state.pos)]
+            costs = [0.0]
             for _ in range(raw.max_episode_steps):
                 key, a_key, s_key = jax.random.split(key, 3)
                 act = self._predict(obs[None, :], a_key)[0]
                 state, ts = raw.step(state, act, s_key)
                 obs = ts.obs
                 positions.append(np.asarray(state.pos))
+                costs.append(float(ts.cost))
             positions_arr = np.stack(positions)
-            fig, ax = plt.subplots(figsize=(6, 6))
-            ax.plot(positions_arr[:, 0], positions_arr[:, 1], '-', lw=1)
+            costs_arr = np.asarray(costs)
             goal = np.asarray(state.goal)
-            ax.plot(goal[0], goal[1], 'g*', markersize=15, label='goal')
             hazards = np.asarray(state.hazards)
-            for hz in hazards:
-                ax.add_patch(plt.Circle(hz, 0.2, color='red', alpha=0.3))
-            ax.set_xlim(-2.2, 2.2)
-            ax.set_ylim(-2.2, 2.2)
-            ax.set_title(f'{self._env_id} episode {ep}')
             out_dir = save_replay_path or '.'
             os.makedirs(out_dir, exist_ok=True)
+
+            def scene(ax):
+                ax.plot(goal[0], goal[1], 'g*', markersize=15, label='goal')
+                for hz in hazards:
+                    ax.add_patch(plt.Circle(hz, 0.2, color='red', alpha=0.3))
+                ax.set_xlim(-2.2, 2.2)
+                ax.set_ylim(-2.2, 2.2)
+                ax.set_title(f'{self._env_id} episode {ep}')
+
+            # static trajectory plot
+            fig, ax = plt.subplots(figsize=(6, 6))
+            ax.plot(positions_arr[:, 0], positions_arr[:, 1], '-', lw=1)
+            scene(ax)
             fig.savefig(os.path.join(out_dir, f'episode-{ep}.png'), dpi=120)
+            plt.close(fig)
+
+            if not video:
+                continue
+            fig, ax = plt.subplots(figsize=(4, 4), dpi=80)
+            scene(ax)
+            trail, = ax.plot([], [], '-', lw=1, color='C0')
+            dot, = ax.plot([], [], 'o', color='C0', markersize=6)
+            frames = range(0, len(positions_arr), max(int(stride), 1))
+
+            def draw(t):
+                trail.set_data(positions_arr[:t + 1, 0], positions_arr[:t + 1, 1])
+                dot.set_data(positions_arr[t:t + 1, 0], positions_arr[t:t + 1, 1])
+                unsafe = costs_arr[t] > 0
+                for spine in ax.spines.values():
+                    spine.set_color('red' if unsafe else 'black')
+                    spine.set_linewidth(3 if unsafe else 1)
+                return trail, dot
+
+            anim = animation.FuncAnimation(fig, draw, frames=frames, blit=False)
+            anim.save(os.path.join(out_dir, f'episode-{ep}.gif'),
+                      writer=animation.PillowWriter(fps=fps))
             plt.close(fig)
 
 

@@ -51,8 +51,14 @@ def test_cli_train_and_evaluator(trained_run):
 def test_evaluator_render(trained_run, tmp_path):
     evaluator = omnisafe_tpu.Evaluator()
     evaluator.load_saved(trained_run)
-    evaluator.render(num_episodes=1, save_replay_path=str(tmp_path))
+    evaluator.render(num_episodes=1, save_replay_path=str(tmp_path), stride=40)
     assert (tmp_path / 'episode-0.png').exists()
+    # animated replay (reference: evaluator.py:511-629 records video)
+    gif = tmp_path / 'episode-0.gif'
+    assert gif.exists() and gif.stat().st_size > 1000
+    from PIL import Image
+    with Image.open(gif) as im:
+        assert getattr(im, 'n_frames', 1) > 3
 
 
 def test_resume_from_checkpoint(trained_run):
