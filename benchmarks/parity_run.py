@@ -159,8 +159,13 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
                           # is per-env slots x num_envs
                           'size': 1_000_000 // args.vector_env_nums},
             'lagrange_cfgs': {'lambda_lr': 8.0e-4},
+            # the reference's λ reads a 10-episode window collected by ONE
+            # env = ~10k steps of policy history; with 16 parallel envs the
+            # same smoothing span needs 160 episodes (window 10 here would
+            # be fully replaced every episode round, making Jc ~16x noisier
+            # than the reference's λ input)
             'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
-                            'save_model_freq': 25},
+                            'save_model_freq': 25, 'window_lens': 160},
         }
         if args.algo in ('DDPG', 'TD3', 'SAC'):
             custom.pop('lagrange_cfgs')

@@ -129,8 +129,10 @@ class _NpStats:
         self.var = m2 / total
         self.count = total
 
-    def normalize(self, x: np.ndarray, eps: float = 1e-8) -> np.ndarray:
-        return (x - self.mean) / (np.sqrt(self.var) + np.float32(eps))
+    def normalize(self, x: np.ndarray, eps: float = 1e-8,
+                  clip: float = 5.0) -> np.ndarray:
+        out = (x - self.mean) / (np.sqrt(self.var) + np.float32(eps))
+        return np.clip(out, -clip, clip)
 
 
 class FastHostOnPolicyRunner:

@@ -73,8 +73,12 @@ class RunningStats:
     def std(self) -> Array:
         return jnp.sqrt(self.var)
 
-    def normalize(self, x: Array, eps: float = 1e-8) -> Array:
-        return (x - self.mean) / (self.std + eps)
+    def normalize(self, x: Array, eps: float = 1e-8, clip: float | None = None) -> Array:
+        """Standardize; clamp to ``[-clip, clip]`` when given (the reference
+        normalizer clamps obs/reward/cost at +-5, reference:
+        omnisafe/envs/wrapper.py:202,302,375 + common/normalizer.py:88-107)."""
+        out = (x - self.mean) / (self.std + eps)
+        return out if clip is None else jnp.clip(out, -clip, clip)
 
     def unnormalize(self, x: Array, eps: float = 1e-8) -> Array:
         return x * (self.std + eps) + self.mean

@@ -138,28 +138,38 @@ class NormalizeState:
 
 
 class ObsNormalize(Wrapper):
-    """Normalize observations with shared running statistics
-    (reference: omnisafe/envs/wrapper.py:179-277)."""
+    """Normalize observations with shared running statistics, clamped at
+    +-clip like the reference's Normalizer
+    (reference: omnisafe/envs/wrapper.py:179-277, clip=5 at :202)."""
+
+    def __init__(self, env: CMDP, clip: float = 5.0) -> None:
+        super().__init__(env)
+        self._clip = clip
 
     def reset(self, key: Array):
         state, obs = self._env.reset(key)
         stats = RunningStats.create(self.observation_space.shape)
         stats = stats.update(obs)
-        return NormalizeState(env=state, stats=stats), stats.normalize(obs)
+        return NormalizeState(env=state, stats=stats), stats.normalize(obs, clip=self._clip)
 
     def step(self, state: NormalizeState, action: Array, key: Array):
         inner, ts = self._env.step(state.env, action, key)
         stats = state.stats.update(ts.obs)
         return (
             NormalizeState(env=inner, stats=stats),
-            ts.replace(obs=stats.normalize(ts.obs), final_obs=stats.normalize(ts.final_obs)),
+            ts.replace(obs=stats.normalize(ts.obs, clip=self._clip),
+                       final_obs=stats.normalize(ts.final_obs, clip=self._clip)),
         )
 
 
 class RewardNormalize(Wrapper):
-    """Normalize rewards with running statistics; the raw reward is kept in
-    ``TimeStep.info['original_reward']`` for episode metrics
-    (reference: omnisafe/envs/wrapper.py:280-350)."""
+    """Normalize rewards with running statistics, clamped at +-clip; the raw
+    reward is kept in ``TimeStep.info['original_reward']`` for episode
+    metrics (reference: omnisafe/envs/wrapper.py:280-350, clip=5 at :302)."""
+
+    def __init__(self, env: CMDP, clip: float = 5.0) -> None:
+        super().__init__(env)
+        self._clip = clip
 
     def reset(self, key: Array):
         state, obs = self._env.reset(key)
@@ -172,13 +182,17 @@ class RewardNormalize(Wrapper):
         info['original_reward'] = ts.reward
         return (
             NormalizeState(env=inner, stats=stats),
-            ts.replace(reward=stats.normalize(ts.reward), info=info),
+            ts.replace(reward=stats.normalize(ts.reward, clip=self._clip), info=info),
         )
 
 
 class CostNormalize(Wrapper):
-    """Normalize costs with running statistics
-    (reference: omnisafe/envs/wrapper.py:353-423)."""
+    """Normalize costs with running statistics, clamped at +-clip
+    (reference: omnisafe/envs/wrapper.py:353-423, clip=5 at :375)."""
+
+    def __init__(self, env: CMDP, clip: float = 5.0) -> None:
+        super().__init__(env)
+        self._clip = clip
 
     def reset(self, key: Array):
         state, obs = self._env.reset(key)
@@ -191,7 +205,7 @@ class CostNormalize(Wrapper):
         info['original_cost'] = ts.cost
         return (
             NormalizeState(env=inner, stats=stats),
-            ts.replace(cost=stats.normalize(ts.cost), info=info),
+            ts.replace(cost=stats.normalize(ts.cost, clip=self._clip), info=info),
         )
 
 

@@ -272,7 +272,7 @@ class Evaluator:
                 d = obs_stats.mean.shape[-1]
                 raw0 = fresh.unnormalize(obs[..., :d])
                 obs = jnp.concatenate(
-                    [obs_stats.normalize(raw0), obs[..., d:]], axis=-1
+                    [obs_stats.normalize(raw0, clip=5.0), obs[..., d:]], axis=-1
                 )
                 env_state = _graft_stats(env_state, obs_stats)
 
