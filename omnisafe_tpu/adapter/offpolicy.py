@@ -69,8 +69,10 @@ class OffPolicyAdapter:
             rng, act_key, rand_key, step_key = jax.random.split(rng, 4)
             act_dim = self._env.action_space.shape[0]
             policy_act = predict_fn(rc.obs, act_key)
+            # batch size from the carry, not self._num_envs: inside shard_map
+            # each device sees its env shard
             rand_act = jax.random.uniform(
-                rand_key, (self._num_envs, act_dim), minval=-1.0, maxval=1.0
+                rand_key, (rc.obs.shape[0], act_dim), minval=-1.0, maxval=1.0
             )
             act = jnp.where(use_rand_action, rand_act, policy_act)
             env_state, ts = self._env.step(rc.env_state, act, step_key)

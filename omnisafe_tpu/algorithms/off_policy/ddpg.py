@@ -68,13 +68,23 @@ class DDPG(BaseAlgo):
     def _init_env(self) -> None:
         cfgs = self._cfgs
         num_envs = int(cfgs.train_cfgs.vector_env_nums)
+        num_devices = int(cfgs.train_cfgs.get('num_devices', 1))
         self._steps_per_epoch = int(cfgs.algo_cfgs.steps_per_epoch)
         self._update_cycle = int(cfgs.algo_cfgs.update_cycle)
         assert self._steps_per_epoch % self._update_cycle == 0
         self._samples_per_epoch = self._steps_per_epoch // self._update_cycle
         self._epochs = int(cfgs.train_cfgs.total_steps) // self._steps_per_epoch
-        self._adapter = OffPolicyAdapter(self._env_id, num_envs, cfgs.algo_cfgs)
-        self._num_envs = num_envs
+        # like the on-policy convention, vector_env_nums is per-device; the
+        # adapter owns the global env batch, sharded over the dp mesh — the
+        # reference cannot parallelize off-policy at all (asserts
+        # parallel==1, reference: utils/config.py:288-291)
+        self._num_devices = num_devices
+        if num_devices > 1:
+            self._axis_name = 'dp'
+        self._adapter = OffPolicyAdapter(
+            self._env_id, num_envs * num_devices, cfgs.algo_cfgs
+        )
+        self._num_envs = num_envs * num_devices
 
     def _init_model(self) -> None:
         cfgs = self._cfgs
@@ -92,12 +102,20 @@ class DDPG(BaseAlgo):
 
     def _init(self) -> None:
         algo = self._cfgs.algo_cfgs
-        self._buffer = ReplayBuffer(
+        # the in-program buffer sees the PER-DEVICE env shard (the ring's
+        # env axis shards over dp); a global-layout handle initializes the
+        # full ring outside the mesh
+        per_device_envs = self._num_envs // self._num_devices
+        kwargs = dict(
             obs_dim=self._adapter.observation_space.shape[0],
             act_dim=self._adapter.action_space.shape[0],
             capacity=int(algo.size),
-            num_envs=self._num_envs,
             penalty_coefficient=float(algo.get('penalty_coef', 0.0)),
+        )
+        self._buffer = ReplayBuffer(num_envs=per_device_envs, **kwargs)
+        self._global_buffer = (
+            ReplayBuffer(num_envs=self._num_envs, **kwargs)
+            if self._num_devices > 1 else self._buffer
         )
         self._extra_init: Any = None
         self._alpha_init: Any = None
@@ -387,10 +405,15 @@ class DDPG(BaseAlgo):
             return st, (ep_metrics, out)
 
         key, *cycle_keys = jax.random.split(state.key, self._samples_per_epoch + 1)
+        cycle_keys = jnp.stack(cycle_keys)
+        if self._axis_name is not None:
+            # per-device exploration + replay-sampling streams; params stay
+            # replicated because gradients are pmean'd before every apply
+            cycle_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, jax.lax.axis_index(self._axis_name))
+            )(cycle_keys)
         state = state.replace(key=key)
-        state, (ep_metrics, upd_metrics) = jax.lax.scan(
-            cycle, state, jnp.stack(cycle_keys)
-        )
+        state, (ep_metrics, upd_metrics) = jax.lax.scan(cycle, state, cycle_keys)
         weights = upd_metrics.pop('_executed')
         total = jnp.maximum(jnp.sum(weights), 1.0)
         metrics = {k: self._pmean(jnp.sum(v * weights) / total) for k, v in upd_metrics.items()}
@@ -634,7 +657,7 @@ class DDPG(BaseAlgo):
             reward_critic_opt=self._reward_critic_tx.init(params.reward_critic),
             cost_critic_opt=self._cost_critic_tx.init(params.cost_critic),
             alpha=self._alpha_init,
-            buffer=self._buffer.init(),
+            buffer=self._global_buffer.init(),
             rollout=rollout,
             extra=self._extra_init,
             update_count=jnp.zeros((), jnp.int32),
@@ -684,6 +707,7 @@ class DDPG(BaseAlgo):
         start = time.time()
         host_mode = find_host_base(self._adapter.env) is not None
         if host_mode:
+            assert self._num_devices == 1, 'host-backed envs are single-device'
             self._learner_device = self._pick_learner_device()
             external_store = self._learner_device is not None
             self._make_host_runners(external_store=external_store)
@@ -692,6 +716,15 @@ class DDPG(BaseAlgo):
             epoch_jit = jax.jit(self._epoch_program)
             eval_jit = jax.jit(self._eval_program)
         state = self._init_train_state()
+        if self._num_devices > 1:
+            # SPMD: env streams + the replay ring shard over the dp mesh
+            from omnisafe_tpu.parallel.offpolicy import (  # pylint: disable=import-outside-toplevel
+                make_distributed_epoch,
+                make_mesh,
+            )
+
+            mesh = make_mesh(self._num_devices)
+            epoch_jit = make_distributed_epoch(self, mesh, state)
         if host_mode:
             if self._learner_device is not None:
                 epoch_jit = self._make_accel_epoch(state)

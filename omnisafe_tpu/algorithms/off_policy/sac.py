@@ -105,6 +105,7 @@ class SAC(DDPG):
             return jnp.mean(-log_alpha * (logp + self._target_entropy))
 
         loss, grad = jax.value_and_grad(alpha_loss)(alpha_state.log_alpha)
+        grad = self._pmean(grad)  # alpha must stay replicated across the dp mesh
         updates, opt_state = self._alpha_tx.update(grad, alpha_state.opt_state,
                                                    alpha_state.log_alpha)
         log_alpha = optax.apply_updates(alpha_state.log_alpha, updates)

@@ -221,7 +221,17 @@ def check_all_configs(cfgs: Config, algo_type: str) -> None:
                 f'steps_per_epoch ({steps}) must divide by vector_env_nums * '
                 f'num_devices ({denom})'
             )
-    if algo_type in {'off-policy', 'model-based', 'offline'}:
+    if algo_type == 'off-policy':
+        # the reference asserts parallel == 1 here; the TPU build removes
+        # the device-mesh half of that restriction — the on-device replay
+        # ring shards its env-stream axis over dp (parallel/offpolicy.py).
+        # Process-parallelism (`parallel`) remains on-policy-only.
+        if int(cfgs.train_cfgs.get('parallel', 1)) != 1:
+            raise ConfigError(
+                'off-policy supports parallel == 1 only '
+                '(reference: omnisafe/utils/config.py:288-291)'
+            )
+    if algo_type in {'model-based', 'offline'}:
         if int(cfgs.train_cfgs.get('parallel', 1)) != 1 or int(
             cfgs.train_cfgs.get('num_devices', 1)
         ) != 1:

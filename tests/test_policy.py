@@ -353,3 +353,48 @@ def test_cost_limit_hit_rate_logged(tmp_path):
 
     plain = omnisafe_tpu.Agent('PPO', 'Test-v0', custom_cfgs=cfg)
     assert 'Metrics/CostLimitHitRate' not in plain.agent._logger._data
+
+
+def test_offpolicy_multi_device_sharded_ring():
+    """Off-policy dp: env streams + the replay ring shard over the mesh
+    (parallel/offpolicy.py); params must remain REPLICATED after an epoch of
+    per-device replay sampling because every gradient (incl. SAC's alpha) is
+    pmean'd before the apply.  The reference cannot run off-policy in
+    parallel at all (asserts parallel==1, reference: utils/config.py:288-291)."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnisafe_tpu.parallel.offpolicy import make_distributed_epoch, make_mesh
+
+    cfg = {
+        'seed': 3,
+        'train_cfgs': {'total_steps': 128, 'vector_env_nums': 2,
+                       'num_devices': 4, 'eval_episodes': 0},
+        'algo_cfgs': {'steps_per_epoch': 32, 'update_cycle': 8,
+                      'update_iters': 2, 'batch_size': 16, 'size': 64,
+                      'start_learning_steps': 8, 'warmup_epochs': 0,
+                      'auto_alpha': True},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_test_runs'},
+        'model_cfgs': {'actor': {'hidden_sizes': [8, 8]},
+                       'critic': {'hidden_sizes': [8, 8]}},
+    }
+    algo = omnisafe_tpu.Agent('SACLag', 'Test-v0', custom_cfgs=cfg).agent
+    state = algo._init_train_state()
+    mesh = make_mesh(4)
+    epoch = make_distributed_epoch(algo, mesh, state)
+    for _ in range(2):
+        state, ep_metrics, metrics = epoch(
+            state, jnp.asarray(30.0), jnp.asarray(3e-4), jnp.asarray(True)
+        )
+    assert np.isfinite(float(metrics['Loss/Loss_pi']))
+    # ring advanced and stayed device-sharded over the env axis
+    assert int(state.buffer.size) == 64
+    obs_field = state.buffer.data['obs']
+    assert obs_field.shape[:2] == (64, 8)  # capacity x global envs
+    # params replicated: every device's replica identical
+    for leaf in jax.tree.leaves(state.params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for shard in shards[1:]:
+            np.testing.assert_array_equal(shards[0], shard)
+    # lambda moved (warmup passed, Jc 30 > limit 25) and is replicated
+    assert float(state.extra.multiplier) > 0.0
