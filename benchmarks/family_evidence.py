@@ -57,6 +57,7 @@ def run_modelbased(args) -> None:
     agent = omnisafe_tpu.Agent(args.algo, 'SafetyPointGoal1-v0-modelbased', custom_cfgs={
         'seed': 0,
         'train_cfgs': {'total_steps': args.steps},
+        'algo_cfgs': {'steps_per_epoch': args.steps_per_epoch},
         'logger_cfgs': {'use_tensorboard': False, 'log_dir': log_dir,
                         'save_model_freq': 1000},
     })
@@ -180,7 +181,7 @@ def run_goal(args) -> None:
     to/below the 25.0 limit, where unconstrained PPO saturates the cost
     channel (reference rows: PPO 25.44/55.72, PPOLag 12.96/25.80, CPO
     20.46/28.84 — benchmarks/on-policy/README.md)."""
-    out_path = os.path.join(EVIDENCE, f'goal-{args.algo}.json')
+    out_path = os.path.join(EVIDENCE, f'goal-{args.algo}{args.tag}.json')
     if os.path.exists(out_path):
         print(f'[evidence] {out_path} exists, skipping')
         return
@@ -212,9 +213,11 @@ def main() -> int:
     mb = sub.add_parser('modelbased')
     mb.add_argument('--algo', default='CCEPETS')
     mb.add_argument('--steps', type=int, default=150_000)
+    mb.add_argument('--steps-per-epoch', type=int, default=4000)
     goal = sub.add_parser('goal')
     goal.add_argument('--algo', default='PPOLag')
     goal.add_argument('--steps', type=int, default=10_000_000)
+    goal.add_argument('--tag', default='')
     sub.add_parser('offline-prep')
     sub.add_parser('offline-run')
     args = parser.parse_args()
