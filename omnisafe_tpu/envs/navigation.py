@@ -241,11 +241,19 @@ class _NavigationEnv(CMDP):
             dist = jnp.linalg.norm(state.goal - box_pos)
 
         if self._task == 'Circle':
-            # Reward circulating the center at radius ~1.0; cost outside |x| wall.
+            # Safety-Gymnasium circle geometry: the reward circle (radius 1.5)
+            # lies OUTSIDE the sigwalls (|x| > 1.125 at level 1, 0.875 at
+            # level 2), so fast circulation necessarily crosses the costed
+            # region — the tension the reference's Circle tables measure
+            # (unconstrained agents saturate cost; constrained ones flatten
+            # the orbit inside the walls at reduced reward).
             radius = jnp.linalg.norm(pos)
             tangent = jnp.stack([-pos[1], pos[0]]) / (radius + 1e-6)
-            reward = jnp.dot(vel, tangent) * (1.0 - jnp.abs(radius - 1.0))
-            cost = (jnp.abs(pos[0]) > 1.125).astype(jnp.float32)
+            reward = jnp.dot(vel, tangent) * jnp.maximum(
+                1.0 - jnp.abs(radius - 1.5), 0.0
+            )
+            wall = {0: jnp.inf, 1: 1.125, 2: 0.875}[self._level]
+            cost = (jnp.abs(pos[0]) > wall).astype(jnp.float32)
             new_goal = state.goal
             target = state.target_button
             goal_key = key
