@@ -50,7 +50,7 @@ D = {d}
 PER_DEV_ENVS = 8
 PER_ENV_STEPS = 128
 steps_per_epoch = PER_DEV_ENVS * PER_ENV_STEPS * D
-epochs = 4
+epochs = 8
 agent = omnisafe_tpu.Agent('PPOLag', 'SafetyAntVelocity-v1', custom_cfgs={{
     'train_cfgs': {{'total_steps': steps_per_epoch * epochs,
                    'vector_env_nums': PER_DEV_ENVS, 'num_devices': D}},
@@ -65,7 +65,9 @@ import csv, glob
 runs = sorted(glob.glob('/tmp/scaling_bench/**/progress.csv', recursive=True),
               key=os.path.getmtime)
 rows = list(csv.DictReader(open(runs[-1])))
-steady = [float(r['Time/Epoch']) for r in rows[1:]]
+# drop TWO epochs: epoch 0 compiles, epoch 1 RE-compiles (the first
+# update returns committed-sharding arrays, changing the jit signature)
+steady = [float(r['Time/Epoch']) for r in rows[2:]]
 rate = steps_per_epoch * len(steady) / sum(steady)
 print(json.dumps({{'devices': D, 'env_steps_per_sec': rate,
                   'steps_per_epoch': steps_per_epoch}}), flush=True)
