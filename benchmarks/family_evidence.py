@@ -88,6 +88,10 @@ def run_offline_prep(args) -> None:
     from omnisafe_tpu.common.offline.data_collector import OfflineDataCollector
 
     os.makedirs(WORK, exist_ok=True)
+    if all(os.path.exists(os.path.join(WORK, f'dataset-beta{b}.npz'))
+           for b in BETAS):
+        print('[evidence] mixed datasets already present, skipping prep')
+        return
     policies = {}
     for algo in ('PPO', 'PPOLag'):
         ckpt_tag = os.path.join(WORK, f'behavior-{algo}')
@@ -187,7 +191,7 @@ def run_goal(args) -> None:
         return
     import omnisafe_tpu
 
-    log_dir = os.path.join(WORK, f'goal-{args.algo}')
+    log_dir = os.path.join(WORK, f'goal-{args.algo}{args.tag}')
     agent = omnisafe_tpu.Agent(args.algo, 'SafetyPointGoal1-v0', custom_cfgs={
         'seed': 0,
         'train_cfgs': {'total_steps': args.steps, 'vector_env_nums': 32},

@@ -114,6 +114,9 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
 
         work_dir = os.path.join(args.out, '_work', tag)
         _rows, _fields, run_dirs = collect_rows(work_dir)
+        if not run_dirs:
+            print(f'[parity] {tag}: no work dir to evaluate from', flush=True)
+            return 1
         evaluator = omnisafe_tpu.Evaluator()
         evaluator.load_saved(run_dirs[-1])
         eval_ret, eval_cost, eval_len = evaluator.evaluate(
@@ -169,7 +172,10 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
         }
         if args.algo in ('DDPG', 'TD3', 'SAC'):
             custom.pop('lagrange_cfgs')
-        steps_per_epoch = 500 * args.vector_env_nums
+        # the off-policy trainer counts epochs in PER-ENV steps:
+        # epochs = total_steps // algo_cfgs.steps_per_epoch (ddpg.py), so a
+        # 62500-step cell runs 125 epochs of 500 per-env steps each
+        steps_per_epoch = 500
     else:
         custom = {
             'seed': args.seed,

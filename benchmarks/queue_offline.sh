@@ -1,7 +1,7 @@
 #!/bin/bash
 cd /root/repo
 while pgrep -f "queue_goal.sh" > /dev/null 2>&1; do sleep 60; done
-timeout 7200 python benchmarks/family_evidence.py goal --algo PPOLag --steps 30000000 --tag -long >> /tmp/evidence_goal.log 2>&1
+timeout 7200 python benchmarks/family_evidence.py goal --algo PPOLag --steps 30000000 --tag=-long >> /tmp/evidence_goal.log 2>&1
 timeout 7200 python benchmarks/family_evidence.py offline-prep >> /tmp/evidence_offline.log 2>&1
 timeout 7200 python benchmarks/family_evidence.py offline-run >> /tmp/evidence_offline.log 2>&1
 echo "OFFLINE QUEUE DONE $(date)" >> /tmp/evidence_offline.log

@@ -170,7 +170,13 @@ class FastHostOnPolicyRunner:
             self._scale = np.ones(self._act_dim, np.float32)
             self._offset = np.zeros(self._act_dim, np.float32)
         self._ac = actor_critic
-        self._act_fn = _ACT[actor_critic.actor.activation]
+        try:  # actor and critics may configure different activations
+            self._actor_act = _ACT[actor_critic.actor.activation]
+            self._critic_act = _ACT[actor_critic.reward_critic.activation]
+        except KeyError as exc:  # softplus/gelu etc: fall back, don't crash
+            raise Ineligible(f'activation {exc} not in the numpy fast path') from exc
+        if actor_critic.cost_critic.activation != actor_critic.reward_critic.activation:
+            raise Ineligible('mismatched reward/cost critic activations')
 
     # ------------------------------------------------------------- carry I/O
     def _stats_order(self) -> List[str]:
@@ -234,7 +240,7 @@ class FastHostOnPolicyRunner:
     ) -> Tuple[RolloutCarry, Trajectory, Array, Array, EpisodeMetrics]:
         del actor_critic  # bound at construction
         T, B, O, A = steps_per_env, self._num_envs, self._obs_dim, self._act_dim
-        act_fn = self._act_fn
+        actor_act, critic_act = self._actor_act, self._critic_act
         mean_net = _mlp_weights(params.actor, 'mean')
         log_std = np.asarray(params.actor['params']['log_std'], np.float32)
         std = np.exp(log_std)
@@ -274,12 +280,12 @@ class FastHostOnPolicyRunner:
         r_ep_len = np.empty((T, B), np.float32)
 
         for t in range(T):
-            mean = _forward(mean_net, obs, act_fn)
+            mean = _forward(mean_net, obs, actor_act)
             act = mean + std * noise_all[t]
             z = (act - mean) / std
             r_logp[t] = -np.sum(0.5 * np.square(z) + log_std + _LOG_SQRT_2PI, axis=-1)
-            r_vr[t] = _forward(rc_net, obs, act_fn)[:, 0]
-            r_vc[t] = _forward(cc_net, obs, act_fn)[:, 0]
+            r_vr[t] = _forward(rc_net, obs, critic_act)[:, 0]
+            r_vc[t] = _forward(cc_net, obs, critic_act)[:, 0]
             r_obs[t] = obs
             r_act[t] = act
 
@@ -326,10 +332,10 @@ class FastHostOnPolicyRunner:
             obs = next_obs.astype(np.float32)
 
         flat_fobs = r_fobs.reshape(T * B, O)
-        fv_r = _forward(rc_net, flat_fobs, act_fn)[:, 0].reshape(T, B)
-        fv_c = _forward(cc_net, flat_fobs, act_fn)[:, 0].reshape(T, B)
-        last_vr = _forward(rc_net, obs, act_fn)[:, 0]
-        last_vc = _forward(cc_net, obs, act_fn)[:, 0]
+        fv_r = _forward(rc_net, flat_fobs, critic_act)[:, 0].reshape(T, B)
+        fv_c = _forward(cc_net, flat_fobs, critic_act)[:, 0].reshape(T, B)
+        last_vr = _forward(rc_net, obs, critic_act)[:, 0]
+        last_vc = _forward(cc_net, obs, critic_act)[:, 0]
 
         new_carry = RolloutCarry(
             env_state=self._pack(stats), obs=jnp.asarray(obs),
