@@ -175,7 +175,7 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
         # the off-policy trainer counts epochs in PER-ENV steps:
         # epochs = total_steps // algo_cfgs.steps_per_epoch (ddpg.py), so a
         # 62500-step cell runs 125 epochs of 500 per-env steps each
-        steps_per_epoch = 500
+        steps_per_epoch = custom['algo_cfgs']['steps_per_epoch']
     else:
         custom = {
             'seed': args.seed,
@@ -184,7 +184,14 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
             'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
                             'save_model_freq': 50},
         }
-        steps_per_epoch = 20_000  # on-policy YAML default
+        # resolve steps_per_epoch from the algo's YAML defaults rather than
+        # hardcoding 20k: a changed default would otherwise make the resume
+        # accounting silently wrong (skipped training / wrong endpoint)
+        from omnisafe_tpu.utils.config import get_default_kwargs_yaml  # pylint: disable=import-outside-toplevel
+        from omnisafe_tpu.algorithms import ALGORITHM2TYPE  # pylint: disable=import-outside-toplevel
+
+        yaml_cfgs = get_default_kwargs_yaml(args.algo, args.env, ALGORITHM2TYPE[args.algo])
+        steps_per_epoch = int(yaml_cfgs.algo_cfgs.steps_per_epoch)
     total_epochs = steps // steps_per_epoch
 
     # -- mid-run resume ----------------------------------------------------

@@ -679,6 +679,11 @@ class DDPG(BaseAlgo):
                 state = state.replace(params=restore_into(state.params, payload['params']))
             else:
                 raise KeyError(f'checkpoint {restore_path} has no resume/params payload')
+            host = payload.get('host') or {}
+            if 'jc_window' in host:
+                self._jc_window.extend(
+                    np.asarray(host['jc_window'], np.float64).reshape(-1).tolist()
+                )
         return state
 
     def _store_episode_metrics(self, ep_metrics, prefix: str = 'Metrics/Ep') -> None:
@@ -792,6 +797,12 @@ class DDPG(BaseAlgo):
             self._logger.setup_saver({
                 'params': lambda: state.params,
                 'resume': lambda: resume_state_dict(state, exclude=('buffer', 'rollout')),
+                # λ's episode-cost window lives host-side; persist it so a
+                # mid-run resume does not transiently feed λ a Jc of 0 until
+                # fresh episodes refill the window
+                'host': lambda: {
+                    'jc_window': np.asarray(list(self._jc_window), np.float64),
+                },
                 'config': self._cfgs.todict(),
             })
             if (epoch + 1) % int(self._cfgs.logger_cfgs.save_model_freq) == 0:

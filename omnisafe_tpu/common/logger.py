@@ -38,11 +38,13 @@ class Logger:
         self._log_dir = os.path.join(output_dir, exp_name, f'seed-{seed:03d}-{int(time.time())}')
         try:  # one run dir per process under multi-process launch
             import jax  # pylint: disable=import-outside-toplevel
-
+        except ImportError:  # pragma: no cover - jax optional at this layer
+            pass
+        else:
+            # a real failure here (e.g. broken distributed init) must
+            # surface — swallowing it would let ranks share one run dir
             if jax.process_count() > 1:
                 self._log_dir = os.path.join(self._log_dir, f'rank{jax.process_index()}')
-        except Exception:  # pragma: no cover - jax optional at this layer
-            pass
         os.makedirs(self._log_dir, exist_ok=True)
         self._epoch = 0
         self._first_row = True

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from omnisafe_tpu.common.normalizer import RunningStats
-from omnisafe_tpu.envs.wrappers import NormalizeState
+from omnisafe_tpu.envs.wrappers import NormalizeState, ObsNormalize
 from omnisafe_tpu.models.actor_critic import ConstraintActorCritic, ConstraintActorQCritic
 from omnisafe_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
 from omnisafe_tpu.utils.config import Config
@@ -100,6 +100,7 @@ class Evaluator:
         self._env = None
         self._raw_env = None
         self._obs_stats: Optional[RunningStats] = None
+        self._obs_clip: float = 5.0
         self._mb_eval = None  # model-based planner eval closure
 
     # ------------------------------------------------------------- loading
@@ -170,6 +171,10 @@ class Evaluator:
         self._env = build_env_stack(self._env_id, 1, eval_algo_cfgs, outer_wrapper=outer)
         raw = self._env
         while hasattr(raw, '_env'):
+            # evaluate under the SAME obs clamp the stack trained with, not a
+            # hardcoded default (the wrapper's clip is configurable)
+            if isinstance(raw, ObsNormalize):
+                self._obs_clip = raw._clip  # pylint: disable=protected-access
             raw = raw._env  # pylint: disable=protected-access
         self._raw_env = raw
 
@@ -259,6 +264,7 @@ class Evaluator:
         env = self._env
         max_steps = self._raw_env.max_episode_steps
         obs_stats = self._obs_stats
+        obs_clip = self._obs_clip
 
         @jax.jit
         def one_episode(key: Array):
@@ -272,7 +278,7 @@ class Evaluator:
                 d = obs_stats.mean.shape[-1]
                 raw0 = fresh.unnormalize(obs[..., :d])
                 obs = jnp.concatenate(
-                    [obs_stats.normalize(raw0, clip=5.0), obs[..., d:]], axis=-1
+                    [obs_stats.normalize(raw0, clip=obs_clip), obs[..., d:]], axis=-1
                 )
                 env_state = _graft_stats(env_state, obs_stats)
 

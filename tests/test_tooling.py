@@ -276,3 +276,38 @@ def test_resume_off_policy_and_model_based(algo, env_id, cfgs, tmp_path):
 
     payload = load_checkpoint(ckpt)
     assert 'resume' in payload
+
+    if hasattr(agent2.agent, '_jc_window'):
+        # λ's host-side episode-cost window is checkpointed and restored, so
+        # a resumed Lagrangian run does not transiently see Jc=0
+        saved_window = np.asarray((payload.get('host') or {})['jc_window'],
+                                  np.float64).reshape(-1)
+        agent3 = omnisafe_tpu.Agent(algo, env_id, custom_cfgs=cfgs)
+        agent3.agent.restore(ckpt)
+        agent3.agent._init_train_state()
+        assert list(agent3.agent._jc_window) == saved_window.tolist()
+
+
+def test_plotter_seed_bands(tmp_path):
+    """Multi-seed conditions aggregate into mean ± std bands (reference:
+    omnisafe/utils/plotter.py:31-389 — seaborn mean/std aggregation)."""
+    rng = np.random.default_rng(0)
+    cond = tmp_path / 'PPOLag-Test'
+    for seed in range(3):
+        run = cond / f'seed-{seed:03d}'
+        run.mkdir(parents=True)
+        with open(run / 'progress.csv', 'w', newline='', encoding='utf-8') as f:
+            writer = csv.DictWriter(
+                f, fieldnames=['TotalEnvSteps', 'Metrics/EpRet', 'Metrics/EpCost'])
+            writer.writeheader()
+            for i in range(50):
+                writer.writerow({
+                    'TotalEnvSteps': 20 * (i + 1),
+                    'Metrics/EpRet': i + rng.normal(scale=2.0),
+                    'Metrics/EpCost': 30.0 - 0.1 * i + rng.normal(),
+                })
+    out = Plotter().make_plots(
+        [str(cond)], legend=['PPOLag'], cost_limit=25.0, smooth=3,
+        save_name=str(tmp_path / 'bands.png'),
+    )
+    assert os.path.exists(out) and os.path.getsize(out) > 0
