@@ -55,6 +55,16 @@ def find_checkpoints(work_dir: str):
     return sorted(ckpts)
 
 
+def eval_run_dir(work_dir: str, run_dirs):
+    """Run dir to evaluate the final policy from: the one holding the NEWEST
+    checkpoint (an interrupted/stray run dir may sort later yet have no
+    save/ directory)."""
+    ckpts = find_checkpoints(work_dir)
+    if ckpts:
+        return os.path.dirname(os.path.dirname(ckpts[-1][1]))
+    return run_dirs[-1]
+
+
 def collect_rows(work_dir: str):
     """All progress rows across the work dir's run dirs, keyed and deduped by
     global Train/Epoch (later run dirs win — they re-ran those epochs)."""
@@ -91,6 +101,9 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
                         help='off-policy protocol: 1e6 transitions, UTD 1, '
                              'TPU learner when visible')
     parser.add_argument('--eval-episodes', type=int, default=10)
+    parser.add_argument('--cpu', action='store_true',
+                        help='force the CPU backend even for off-policy cells '
+                             '(e.g. while another run holds the TPU)')
     parser.add_argument('--reeval', action='store_true',
                         help='augment an existing summary with the final-policy '
                              'evaluation protocol (no training)')
@@ -118,7 +131,7 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
             print(f'[parity] {tag}: no work dir to evaluate from', flush=True)
             return 1
         evaluator = omnisafe_tpu.Evaluator()
-        evaluator.load_saved(run_dirs[-1])
+        evaluator.load_saved(eval_run_dir(work_dir, run_dirs))
         eval_ret, eval_cost, eval_len = evaluator.evaluate(
             num_episodes=args.eval_episodes, seed=10_000 + args.seed
         )
@@ -131,7 +144,7 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
               flush=True)
         return 0
 
-    if args.off_policy:
+    if args.off_policy and not args.cpu:
         # CPU default for the actor-side host loop; the TPU (when visible via
         # PYTHONPATH including the axon plugin) hosts the ring + TD updates
         jax.config.update('jax_default_device', jax.devices('cpu')[0])
@@ -143,7 +156,8 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
     work_dir = os.path.join(args.out, '_work', tag)
     steps = args.steps
     if args.off_policy and args.steps == 10_000_000:
-        steps = 62_500  # x16 envs = 1e6 transitions (reference protocol)
+        # reference protocol: 1e6 TRANSITIONS total, counted per env
+        steps = 1_000_000 // args.vector_env_nums
 
     if args.off_policy:
         # reference protocol: 1e6 transitions, 1 update per transition.
@@ -157,18 +171,27 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
                            'vector_env_nums': args.vector_env_nums},
             'algo_cfgs': {'steps_per_epoch': 500, 'update_cycle': 5,
                           'update_iters': 5 * args.vector_env_nums,
-                          'warmup_epochs': 25,
+                          # reference λ warm-up spans 200k transitions
+                          # (warmup_epochs 100 x steps_per_epoch 2000,
+                          # SACLag.yaml:36,80); our epochs are 500*N
+                          # transitions
+                          'warmup_epochs': 400 // args.vector_env_nums,
                           # reference ring capacity is 1e6 TRANSITIONS; ours
                           # is per-env slots x num_envs
                           'size': 1_000_000 // args.vector_env_nums},
-            'lagrange_cfgs': {'lambda_lr': 8.0e-4},
+            # reference λ ascends once PER TRANSITION at lambda_lr=1e-5
+            # (update_cycle: 1, configs/off-policy/SACLag.yaml:38,128); ours
+            # ascends once per cycle of 5*num_envs transitions, so the Adam
+            # rate scales by the cycle size (8e-4 at 16 envs, 5e-5 at 1)
+            'lagrange_cfgs': {'lambda_lr': 1.0e-5 * 5 * args.vector_env_nums},
             # the reference's λ reads a 10-episode window collected by ONE
-            # env = ~10k steps of policy history; with 16 parallel envs the
-            # same smoothing span needs 160 episodes (window 10 here would
-            # be fully replaced every episode round, making Jc ~16x noisier
-            # than the reference's λ input)
+            # env = ~10k steps of policy history; with N parallel envs the
+            # same smoothing span needs 10*N episodes (window 10 at 16 envs
+            # would be fully replaced every episode round, making Jc ~16x
+            # noisier than the reference's λ input)
             'logger_cfgs': {'use_tensorboard': False, 'log_dir': work_dir,
-                            'save_model_freq': 25, 'window_lens': 160},
+                            'save_model_freq': 25,
+                            'window_lens': 10 * args.vector_env_nums},
         }
         if args.algo in ('DDPG', 'TD3', 'SAC'):
             custom.pop('lagrange_cfgs')
@@ -242,7 +265,7 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
                                 extrasaction='ignore')
         writer.writeheader()
         writer.writerows(rows)
-    cfg_src = os.path.join(run_dirs[-1], 'config.json')
+    cfg_src = os.path.join(eval_run_dir(work_dir, run_dirs), 'config.json')
     if os.path.exists(cfg_src):
         shutil.copy(cfg_src, os.path.join(out_dir, 'config.json'))
 
@@ -250,7 +273,7 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
     if args.eval_episodes > 0:
         try:
             evaluator = omnisafe_tpu.Evaluator()
-            evaluator.load_saved(run_dirs[-1])  # latest ckpt = final
+            evaluator.load_saved(eval_run_dir(work_dir, run_dirs))  # newest ckpt = final
             eval_ret, eval_cost, eval_len = evaluator.evaluate(
                 num_episodes=args.eval_episodes, seed=10_000 + args.seed
             )
