@@ -141,8 +141,11 @@ def run_offline_prep(args) -> None:
 
 
 def run_offline(args) -> None:
-    del args
-    out_path = os.path.join(EVIDENCE, 'offline-coptidice.json')
+    """β-sweep one offline algorithm over the mixed safe/unsafe datasets
+    (reference analogue: benchmarks/offline/README.md:117-222 publishes
+    VAE-BC / BCQLag / C-CRR / COptiDICE rows per dataset mix)."""
+    algo = args.algo
+    out_path = os.path.join(EVIDENCE, f'offline-{algo.lower()}.json')
     if os.path.exists(out_path):
         print(f'[evidence] {out_path} exists, skipping')
         return
@@ -151,10 +154,10 @@ def run_offline(args) -> None:
     results = []
     for beta in BETAS:
         dataset = os.path.join(WORK, f'dataset-beta{beta}.npz')
-        log_dir = os.path.join(WORK, f'coptidice-beta{beta}')
-        agent = omnisafe_tpu.Agent('COptiDICE', OFFLINE_ENV, custom_cfgs={
+        log_dir = os.path.join(WORK, f'{algo.lower()}-beta{beta}')
+        agent = omnisafe_tpu.Agent(algo, OFFLINE_ENV, custom_cfgs={
             'seed': 0,
-            'train_cfgs': {'dataset': dataset, 'total_steps': 300_000},
+            'train_cfgs': {'dataset': dataset, 'total_steps': args.steps},
             'logger_cfgs': {'use_tensorboard': False, 'log_dir': log_dir,
                             'save_model_freq': 1000},
         })
@@ -167,14 +170,67 @@ def run_offline(args) -> None:
         mean = lambda key: sum(float(r[key]) for r in tail) / len(tail)  # noqa: E731
         results.append({'beta': beta, 'eval_ret': mean('Metrics/EpRet'),
                         'eval_cost': mean('Metrics/EpCost')})
-        print(f'[evidence] COptiDICE beta={beta}: '
-              f'ret={results[-1]["eval_ret"]:.2f} cost={results[-1]["eval_cost"]:.2f}')
+        print(f'[evidence] {algo} beta={beta}: '
+              f'ret={results[-1]["eval_ret"]:.2f} cost={results[-1]["eval_cost"]:.2f}',
+              flush=True)
     os.makedirs(EVIDENCE, exist_ok=True)
     with open(out_path, 'w', encoding='utf-8') as handle:
-        json.dump({'env': OFFLINE_ENV, 'per_beta': results,
+        json.dump({'algo': algo, 'env': OFFLINE_ENV, 'per_beta': results,
                    'note': 'beta = fraction of SAFE (PPOLag) transitions in '
                            'the mixed dataset; reference analogue: '
                            'benchmarks/offline/README.md:117-222'},
+                  handle, indent=2)
+
+
+def run_crabs(args) -> None:
+    """CRABS acceptance evidence (reference:
+    omnisafe/algorithms/off_policy/crabs.py:56-539): on
+    SafeInvertedPendulum-v2 the co-trained barrier must keep TRAINING-TIME
+    safety violations near zero, where an unconstrained SAC with the same
+    budget violates freely.  Each unit of episode cost is one unsafe step
+    (envs/classic_control.py cost = violation indicator), so the per-epoch
+    EpCost window is violations-per-episode during exploration."""
+    out_path = os.path.join(EVIDENCE, 'crabs-vs-sac.json')
+    if os.path.exists(out_path):
+        print(f'[evidence] {out_path} exists, skipping')
+        return
+    import omnisafe_tpu
+
+    results = {}
+    for algo in ('SAC', 'CRABS'):
+        log_dir = os.path.join(WORK, f'crabs-ev-{algo}')
+        cfgs = {
+            'seed': 0,
+            'train_cfgs': {'total_steps': args.steps, 'vector_env_nums': 4,
+                           'eval_episodes': 2},
+            'algo_cfgs': {'steps_per_epoch': 500},
+            'logger_cfgs': {'use_tensorboard': False, 'log_dir': log_dir,
+                            'save_model_freq': 10_000},
+        }
+        agent = omnisafe_tpu.Agent(algo, 'SafeInvertedPendulum-v2',
+                                   custom_cfgs=cfgs)
+        ret, cost, _len = agent.learn()
+        runs = sorted(glob.glob(os.path.join(log_dir, '**', 'progress.csv'),
+                                recursive=True), key=os.path.getmtime)
+        with open(runs[-1], encoding='utf-8') as handle:
+            rows = list(csv.DictReader(handle))
+        curve = [{'epoch': float(r['Train/Epoch']),
+                  'ep_cost': float(r['Metrics/EpCost']),
+                  'ep_ret': float(r['Metrics/EpRet'])} for r in rows]
+        mean_viol = sum(c['ep_cost'] for c in curve) / max(len(curve), 1)
+        results[algo] = {'final_ret': ret, 'final_cost': cost,
+                         'mean_violations_per_episode': mean_viol,
+                         'curve': curve}
+        print(f'[evidence] {algo}: final ret={ret:.2f} cost={cost:.2f} '
+              f'mean train violations/episode={mean_viol:.3f}', flush=True)
+    os.makedirs(EVIDENCE, exist_ok=True)
+    with open(out_path, 'w', encoding='utf-8') as handle:
+        json.dump({'env': 'SafeInvertedPendulum-v2', 'steps': args.steps,
+                   'results': results,
+                   'note': 'cost = unsafe-state steps during TRAINING '
+                           'rollouts; CRABS must stay near zero while '
+                           'unconstrained SAC violates freely (reference: '
+                           'omnisafe/algorithms/off_policy/crabs.py:56-539)'},
                   handle, indent=2)
 
 
@@ -223,7 +279,11 @@ def main() -> int:
     goal.add_argument('--steps', type=int, default=10_000_000)
     goal.add_argument('--tag', default='')
     sub.add_parser('offline-prep')
-    sub.add_parser('offline-run')
+    p_off = sub.add_parser('offline-run')
+    p_off.add_argument('--algo', default='COptiDICE')
+    p_off.add_argument('--steps', type=int, default=300_000)
+    p_crabs = sub.add_parser('crabs')
+    p_crabs.add_argument('--steps', type=int, default=30_000)
     args = parser.parse_args()
     if args.cmd == 'modelbased':
         run_modelbased(args)
@@ -231,6 +291,8 @@ def main() -> int:
         run_goal(args)
     elif args.cmd == 'offline-prep':
         run_offline_prep(args)
+    elif args.cmd == 'crabs':
+        run_crabs(args)
     else:
         run_offline(args)
     return 0
