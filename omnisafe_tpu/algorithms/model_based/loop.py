@@ -90,9 +90,11 @@ class LOOP(PETS):
         log.register_key('Loss/Loss_reward_critic')
         log.register_key('Value/alpha')
 
-    def _plan(self, state, plan_state, obs: Array, key: Array, lagrange: Array):
+    def _plan(self, state, plan_state, obs: Array, key: Array, lagrange: Array,
+              chunk: int = 1):
         return self._planner.plan(
-            state.dynamics, plan_state, obs, key, lagrange, ac_params=state.extra.params
+            state.dynamics, plan_state, obs, key, lagrange,
+            ac_params=state.extra.params, chunk=chunk,
         )
 
     # --------------------------------------------------------- SAC updates

@@ -71,6 +71,10 @@ class PETS(BaseAlgo):
         self._epochs = int(cfgs.train_cfgs.total_steps) // self._steps_per_epoch
         self._dynamics_cycle = int(cfgs.algo_cfgs.update_dynamics_cycle)
         self._plan_steps_per_cycle = max(self._dynamics_cycle // self._action_repeat, 1)
+        self._plan_chunk = int(cfgs.planner_cfgs.get('plan_chunk', 1))
+        assert self._plan_steps_per_cycle % self._plan_chunk == 0, (
+            'plan_chunk must divide update_dynamics_cycle // action_repeat'
+        )
         self._cycles_per_epoch = max(self._steps_per_epoch // self._dynamics_cycle, 1)
 
     def _init_model(self) -> None:
@@ -162,63 +166,95 @@ class PETS(BaseAlgo):
     def _zero_plan_info(self) -> Dict[str, Array]:
         return {k: jnp.zeros(()) for k in self._planner.info_keys}
 
-    def _plan(self, state, plan_state, obs: Array, key: Array, lagrange: Array):
+    def _plan(self, state, plan_state, obs: Array, key: Array, lagrange: Array,
+              chunk: int = 1):
         """Planner dispatch hook; LOOP passes actor-critic params through."""
-        return self._planner.plan(state.dynamics, plan_state, obs, key, lagrange)
+        return self._planner.plan(state.dynamics, plan_state, obs, key, lagrange,
+                                  chunk=chunk)
 
     # pylint: disable-next=too-many-locals
     def _collect_program(self, state: ModelBasedTrainState, use_planner: Array, lagrange: Array):
-        """One dynamics cycle of environment interaction (jitted)."""
+        """One dynamics cycle of environment interaction (jitted).
+
+        Each outer step plans ONCE and executes the first ``plan_chunk``
+        actions of the optimized receding-horizon sequence open-loop
+        (``planner_cfgs.plan_chunk``, default 1 = the reference's
+        replan-every-step, planner/cem.py:227-271).  Chunking divides both
+        planner compute and — through a remote tunnel — dispatch round
+        trips per env step by the chunk size."""
+        chunk = self._plan_chunk
+        act_dim = self._raw_env.action_space.shape[0]
 
         def body(st: ModelBasedTrainState, step_key):
-            plan_key, rand_key, env_key = jax.random.split(step_key, 3)
+            plan_key, rand_key, scan_key = jax.random.split(step_key, 3)
 
             def planned(_):
-                act, ps, info = self._plan(st, st.plan_state, st.rollout.obs[0], plan_key, lagrange)
-                return act[None, :], ps, info
+                acts, ps, info = self._plan(
+                    st, st.plan_state, st.rollout.obs[0], plan_key, lagrange,
+                    chunk=chunk,
+                )
+                return acts, ps, info
 
             def random(_):
-                act = jax.random.uniform(
-                    rand_key, (1, self._raw_env.action_space.shape[0]), minval=-1.0, maxval=1.0
+                acts = jax.random.uniform(
+                    rand_key, (chunk, act_dim), minval=-1.0, maxval=1.0
                 )
-                return act, st.plan_state, self._zero_plan_info()
+                return acts, st.plan_state, self._zero_plan_info()
 
-            act, plan_state, plan_info = jax.lax.cond(use_planner, planned, random, None)
-            env_state, ts = self._env.step(st.rollout.env_state, act, env_key)
-            done = ts.done
-            real_next = jnp.where(done[:, None], ts.final_obs, ts.obs)
-            buffer = self._buffer.store(st.buffer, {
-                'obs': st.rollout.obs,
-                'act': act,
-                'reward': ts.reward,
-                'cost': ts.cost,
-                'done': ts.terminated.astype(jnp.float32),
-                'next_obs': real_next,
-            })
-            # planner warm start resets at episode boundaries
-            plan_state = jax.tree.map(
-                lambda fresh, cur: jnp.where(done[0], fresh, cur),
-                self._planner.init(), plan_state,
+            acts, plan_state, plan_info = jax.lax.cond(use_planner, planned, random, None)
+
+            def exec_step(carry, inp):
+                rollout, buffer = carry
+                act, env_key = inp
+                act = act[None, :]
+                env_state, ts = self._env.step(rollout.env_state, act, env_key)
+                done = ts.done
+                real_next = jnp.where(done[:, None], ts.final_obs, ts.obs)
+                buffer = self._buffer.store(buffer, {
+                    'obs': rollout.obs,
+                    'act': act,
+                    'reward': ts.reward,
+                    'cost': ts.cost,
+                    'done': ts.terminated.astype(jnp.float32),
+                    'next_obs': real_next,
+                })
+                ep_ret = rollout.ep_ret + ts.reward
+                ep_cost = rollout.ep_cost + ts.cost
+                ep_len = rollout.ep_len + float(self._action_repeat)
+                record = (done, ep_ret, ep_cost, ep_len)
+                not_done = 1.0 - done.astype(jnp.float32)
+                rollout = RolloutCarry(
+                    env_state=env_state, obs=ts.obs, ep_ret=ep_ret * not_done,
+                    ep_cost=ep_cost * not_done, ep_len=ep_len * not_done,
+                )
+                return (rollout, buffer), record
+
+            env_keys = jax.random.split(scan_key, chunk)
+            (rollout, buffer), records = jax.lax.scan(
+                exec_step, (st.rollout, st.buffer), (acts, env_keys)
             )
-            ep_ret = st.rollout.ep_ret + ts.reward
-            ep_cost = st.rollout.ep_cost + ts.cost
-            ep_len = st.rollout.ep_len + float(self._action_repeat)
-            record = (done, ep_ret, ep_cost, ep_len, plan_info)
-            not_done = 1.0 - done.astype(jnp.float32)
-            rollout = RolloutCarry(
-                env_state=env_state, obs=ts.obs,
-                ep_ret=ep_ret * not_done, ep_cost=ep_cost * not_done, ep_len=ep_len * not_done,
+            # planner warm start resets at episode boundaries (any within the
+            # executed chunk)
+            any_done = jnp.any(records[0])
+            plan_state = jax.tree.map(
+                lambda fresh, cur: jnp.where(any_done, fresh, cur),
+                self._planner.init(), plan_state,
             )
             new_st = st.replace(
                 rollout=rollout, buffer=buffer, plan_state=plan_state,
-                global_step=st.global_step + self._action_repeat,
+                global_step=st.global_step + self._action_repeat * chunk,
             )
-            return new_st, record
+            return new_st, (records, plan_info)
 
         key, scan_key = jax.random.split(state.key)
-        keys = jax.random.split(scan_key, self._plan_steps_per_cycle)
-        state, (done, ep_ret, ep_cost, ep_len, plan_infos) = jax.lax.scan(
+        n_plans = self._plan_steps_per_cycle // chunk
+        keys = jax.random.split(scan_key, n_plans)
+        state, ((done, ep_ret, ep_cost, ep_len), plan_infos) = jax.lax.scan(
             body, state.replace(key=key), keys
+        )
+        # (n_plans, chunk, ...) -> (steps, ...) in execution order
+        done, ep_ret, ep_cost, ep_len = (
+            x.reshape(-1, *x.shape[2:]) for x in (done, ep_ret, ep_cost, ep_len)
         )
         plan_info = jax.tree.map(lambda x: x[-1], plan_infos)
         return state, (done, ep_ret, ep_cost, ep_len), plan_info
@@ -232,7 +268,7 @@ class PETS(BaseAlgo):
             env_state, obs, plan_state, ep_ret, ep_cost, ep_len, alive = carry
             plan_key, env_key = jax.random.split(step_key)
             act, plan_state, _ = self._plan(state, plan_state, obs[0], plan_key, lagrange)
-            env_state, ts = self._env.step(env_state, act[None, :], env_key)
+            env_state, ts = self._env.step(env_state, act, env_key)  # act: (1, A)
             live = alive.astype(jnp.float32)
             ep_ret = ep_ret + ts.reward[0] * live
             ep_cost = ep_cost + ts.cost[0] * live

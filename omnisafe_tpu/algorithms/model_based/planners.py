@@ -142,12 +142,19 @@ class CEMPlanner:
         obs: Array,
         key: Array,
         lagrange: Array = 0.0,
+        chunk: int = 1,
     ) -> Tuple[Array, PlanState, Dict[str, Array]]:
-        """One planning call (reference: cem.py:227-271)."""
+        """One planning call returning the first ``chunk`` actions of the
+        optimized sequence, shape ``(chunk, A)`` (reference: cem.py:227-271
+        replans every step, i.e. chunk=1; executing a k-step prefix of the
+        receding-horizon plan amortizes planner compute and — on a
+        remote-dispatched accelerator — dispatch round trips k-fold)."""
         H, S, A = self._horizon, self._num_samples, self._action_dim
         E, pp = self._dynamics.num_ensemble, self._pp
-        # shift the warm start forward one step
-        last_mean = jnp.concatenate([plan_state.mean[1:], plan_state.mean[-1:]], axis=0)
+        # shift the warm start forward by the prefix consumed last call
+        last_mean = jnp.concatenate(
+            [plan_state.mean[chunk:],
+             jnp.broadcast_to(plan_state.mean[-1:], (chunk, A))], axis=0)
         last_var = jnp.full((H, A), self._init_var)
 
         init_states = jnp.broadcast_to(obs, (E, pp * S, obs.shape[-1]))
@@ -179,7 +186,7 @@ class CEMPlanner:
         info['Plan/last_var_mean'] = jnp.mean(var)
         info['Plan/last_var_max'] = jnp.max(var)
         info['Plan/last_var_min'] = jnp.min(var)
-        return mean[0], PlanState(mean=mean), info
+        return mean[:chunk], PlanState(mean=mean), info
 
 
 _FEASIBLE_KEYS = (
@@ -311,12 +318,16 @@ class ARCPlanner(CEMPlanner):
         return ep_returns, self._temperature, info
 
     # pylint: disable-next=too-many-locals
-    def plan(self, dyn_state, plan_state, obs, key, lagrange=0.0, ac_params=None):
-        """(reference: arc.py:249-314)."""
+    def plan(self, dyn_state, plan_state, obs, key, lagrange=0.0, ac_params=None,
+             chunk: int = 1):
+        """(reference: arc.py:249-314); returns the first ``chunk`` actions,
+        shape ``(chunk, A)`` — see :meth:`CEMPlanner.plan`."""
         H, S, A = self._horizon, self._num_samples, self._action_dim
         E, pp = self._dynamics.num_ensemble, self._pp
         NA = self._num_action
-        last_mean = jnp.concatenate([plan_state.mean[1:], plan_state.mean[-1:]], axis=0)
+        last_mean = jnp.concatenate(
+            [plan_state.mean[chunk:],
+             jnp.broadcast_to(plan_state.mean[-1:], (chunk, A))], axis=0)
         last_var = jnp.full((H, A), self._init_var)
         init_states = jnp.broadcast_to(obs, (E, pp * NA, obs.shape[-1]))
 
@@ -366,7 +377,7 @@ class ARCPlanner(CEMPlanner):
         info['Plan/last_var_mean'] = jnp.mean(var)
         info['Plan/last_var_max'] = jnp.max(var)
         info['Plan/last_var_min'] = jnp.min(var)
-        return mean[0], PlanState(mean=mean), info
+        return mean[:chunk], PlanState(mean=mean), info
 
 
 class SafeARCPlanner(ARCPlanner):
