@@ -182,6 +182,53 @@ def run_offline(args) -> None:
                   handle, indent=2)
 
 
+def run_modelbased_physics(args) -> None:
+    """Model-based family on REAL MuJoCo physics (VERDICT round-3 item 6):
+    PETS / CCEPETS / SafeLOOP on the physics-exact HalfCheetah velocity
+    task, with chunked receding-horizon execution (plan_chunk) amortizing
+    planner cost.  Expected ordering mirrors the reference's PointGoal
+    tables (reference: benchmarks/model-based/README.md:87-160): the
+    constrained planners drive cost far below unconstrained PETS at
+    comparable reward; the repo's own on-policy parity cells are the
+    reward yardstick."""
+    out_path = os.path.join(EVIDENCE, f'mbphysics-{args.algo}.json')
+    if os.path.exists(out_path):
+        print(f'[evidence] {out_path} exists, skipping')
+        return
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')
+    import omnisafe_tpu
+
+    env_id = 'SafetyHalfCheetahVelocity-v1-mujoco'
+    log_dir = os.path.join(WORK, f'mbphys-{args.algo}')
+    cfgs = {
+        'seed': 0,
+        'train_cfgs': {'total_steps': args.steps},
+        # planner sized for 2 CPU cores: LOOP-scale candidate pool; chunk 4
+        # => one planning call per 20 env steps (action_repeat 5)
+        'planner_cfgs': {'plan_chunk': 4, 'num_samples': 100,
+                         'num_particles': 5, 'num_elites': 10},
+        'dynamics_cfgs': {'num_ensemble': 5, 'elite_size': 5},
+        'evaluation_cfgs': {'use_eval': False},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': log_dir,
+                        'save_model_freq': 5},
+    }
+    agent = omnisafe_tpu.Agent(args.algo, env_id, custom_cfgs=cfgs)
+    ret, cost, _len = agent.learn()
+    r_tail, c_tail, rows = _tail_metrics(log_dir)
+    curve = [{'epoch': float(r['Train/Epoch']), 'ret': float(r['Metrics/EpRet']),
+              'cost': float(r['Metrics/EpCost'])} for r in rows]
+    os.makedirs(EVIDENCE, exist_ok=True)
+    with open(out_path, 'w', encoding='utf-8') as handle:
+        json.dump({'algo': args.algo, 'env': env_id, 'steps': args.steps,
+                   'plan_chunk': 4, 'final_window_ret': r_tail,
+                   'final_window_cost': c_tail, 'last_ret': ret,
+                   'last_cost': cost, 'curve': curve}, handle, indent=2)
+    print(f'[evidence] {args.algo} physics: ret={r_tail:.2f} cost={c_tail:.2f}',
+          flush=True)
+
+
 def run_crabs(args) -> None:
     """CRABS acceptance evidence (reference:
     omnisafe/algorithms/off_policy/crabs.py:56-539): on
@@ -274,6 +321,9 @@ def main() -> int:
     mb.add_argument('--algo', default='CCEPETS')
     mb.add_argument('--steps', type=int, default=150_000)
     mb.add_argument('--steps-per-epoch', type=int, default=4000)
+    mbp = sub.add_parser('modelbased-physics')
+    mbp.add_argument('--algo', default='CCEPETS')
+    mbp.add_argument('--steps', type=int, default=150_000)
     goal = sub.add_parser('goal')
     goal.add_argument('--algo', default='PPOLag')
     goal.add_argument('--steps', type=int, default=10_000_000)
@@ -287,6 +337,8 @@ def main() -> int:
     args = parser.parse_args()
     if args.cmd == 'modelbased':
         run_modelbased(args)
+    elif args.cmd == 'modelbased-physics':
+        run_modelbased_physics(args)
     elif args.cmd == 'goal':
         run_goal(args)
     elif args.cmd == 'offline-prep':

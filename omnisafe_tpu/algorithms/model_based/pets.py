@@ -57,15 +57,29 @@ class PETS(BaseAlgo):
     def _init_env(self) -> None:
         cfgs = self._cfgs
         self._action_repeat = int(cfgs.algo_cfgs.action_repeat)
-        env = make(self._env_id)
-        self._raw_env = env
-        limit = env.max_episode_steps // self._action_repeat
-        self._plan_steps_per_episode = limit
-        stack = ActionRepeat(env, self._action_repeat)
-        stack = TimeLimit(stack, limit)
-        stack = AutoReset(stack)
-        stack = Vectorize(stack, 1)
-        stack = ActionScale(stack, -1.0, 1.0)
+        from omnisafe_tpu.envs.core import _ENV_REGISTRY  # pylint: disable=import-outside-toplevel
+
+        cls = _ENV_REGISTRY.get(self._env_id)
+        if cls is not None and getattr(cls, 'is_vectorized', False):
+            # host-backed env: owns its batch dim, auto-reset, time limit,
+            # and action repeat (an ordered io_callback cannot sit under
+            # vmapped/jitted ActionRepeat control flow)
+            env = make(self._env_id, num_envs=1,
+                       action_repeat=self._action_repeat)
+            self._raw_env = env
+            limit = env.max_episode_steps // self._action_repeat
+            self._plan_steps_per_episode = limit
+            stack = ActionScale(env, -1.0, 1.0)
+        else:
+            env = make(self._env_id)
+            self._raw_env = env
+            limit = env.max_episode_steps // self._action_repeat
+            self._plan_steps_per_episode = limit
+            stack = ActionRepeat(env, self._action_repeat)
+            stack = TimeLimit(stack, limit)
+            stack = AutoReset(stack)
+            stack = Vectorize(stack, 1)
+            stack = ActionScale(stack, -1.0, 1.0)
         self._env = stack
         self._steps_per_epoch = int(cfgs.algo_cfgs.steps_per_epoch)
         self._epochs = int(cfgs.train_cfgs.total_steps) // self._steps_per_epoch

@@ -69,6 +69,13 @@ class HostMujocoVelocityEnv(CMDP):
         ]
         self._obs_dim = int(self._envs[0].observation_space.shape[0])
         self._act_space = self._envs[0].action_space
+        # host-side action repeat (for model-based stacks; the jitted
+        # ActionRepeat wrapper cannot sit above an ordered io_callback):
+        # each step() call repeats the action up to `action_repeat` raw
+        # steps, summing reward/cost and stopping early at episode end —
+        # the reference ActionRepeat semantics (omnisafe/envs/wrapper.py:
+        # 517-574)
+        self._action_repeat = int(kwargs.get('action_repeat', 1))
 
     @property
     def num_envs(self) -> int:
@@ -103,15 +110,23 @@ class HostMujocoVelocityEnv(CMDP):
         term = np.empty(b, np.bool_)
         trunc = np.empty(b, np.bool_)
         for i, env in enumerate(self._envs):
-            o, r, te, tr, info = env.step(np.asarray(actions[i], np.float64))
-            # safety_gymnasium velocity tasks: cost = 1[velocity > threshold],
-            # velocity = hypot(vx, vy) for Ant, raw x_velocity otherwise.
-            if self._planar_speed:
-                vel = float(np.hypot(info.get('x_velocity', 0.0), info.get('y_velocity', 0.0)))
-            else:
-                vel = float(info.get('x_velocity', 0.0))
-            reward[i] = r
-            cost[i] = float(vel > self._velocity_limit)
+            r_sum = c_sum = 0.0
+            for _rep in range(self._action_repeat):
+                o, r, te, tr, info = env.step(np.asarray(actions[i], np.float64))
+                # safety_gymnasium velocity tasks: cost = 1[velocity >
+                # threshold], velocity = hypot(vx, vy) for Ant, raw
+                # x_velocity otherwise.
+                if self._planar_speed:
+                    vel = float(np.hypot(info.get('x_velocity', 0.0),
+                                         info.get('y_velocity', 0.0)))
+                else:
+                    vel = float(info.get('x_velocity', 0.0))
+                r_sum += float(r)
+                c_sum += float(vel > self._velocity_limit)
+                if te or tr:  # stop early within the repeat window
+                    break
+            reward[i] = r_sum
+            cost[i] = c_sum
             term[i] = te
             trunc[i] = tr
             final_obs[i] = o
@@ -119,6 +134,37 @@ class HostMujocoVelocityEnv(CMDP):
                 o, _ = env.reset()
             obs[i] = o
         return obs, reward, cost, term, trunc, final_obs
+
+    # index of the forward-velocity component(s) inside the v4 observation
+    # (qvel follows the trimmed qpos block): used by model-based planners to
+    # score imagined states.  Humanoid's published x_velocity is a
+    # center-of-mass quantity not recoverable from a qvel slot, so it is
+    # deliberately absent.
+    _VEL_OBS_INDEX = {
+        'HalfCheetah': 8, 'Walker2d': 8, 'Hopper': 5, 'Swimmer': 3,
+        'Ant': (13, 14),
+    }
+
+    def cost_from_obs(self, obs: Array) -> Array:
+        """Velocity cost evaluated on (imagined) observations — the
+        model-based planners' cost oracle (reference analogue:
+        safety_gymnasium_modelbased.py ``get_cost_from_obs_tensor``).
+        Matches ``_host_step``: cost = 1[velocity > threshold], velocity =
+        hypot(vx, vy) for Ant, raw x-velocity otherwise; the qvel slot of
+        the observation stands in for the finite-difference ``x_velocity``
+        the host env reads from step info."""
+        robot = self.env_id[len('Safety'):-len('Velocity-v1-mujoco')]
+        idx = self._VEL_OBS_INDEX.get(robot)
+        if idx is None:
+            raise NotImplementedError(
+                f'cost_from_obs undefined for {robot}: its x_velocity is not '
+                f'an observation component'
+            )
+        if self._planar_speed:
+            vel = jnp.hypot(obs[..., idx[0]], obs[..., idx[1]])
+        else:
+            vel = obs[..., idx]
+        return (vel > self._velocity_limit).astype(jnp.float32)
 
     # direct entry points for the host-driven rollout (adapter/host_loop.py),
     # which owns physics outside the XLA run loop
