@@ -169,12 +169,20 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
         # (UTD 1 preserved); lambda_lr is scaled by the cycle size because
         # the lambda Adam step runs once per cycle instead of once per
         # transition (reference: ddpg_lag.py:58-66 ascends every update call).
+        # cycle size trades λ-update granularity against per-cycle dispatch
+        # overhead: 5 per-env steps at 16 envs (80-transition cycles), 50 at
+        # 1 env (the 5-transition cycle paid ~100 dispatches/epoch — 10.6 s
+        # vs ~0.1 s of actual compute)
+        cycle = 5 if args.vector_env_nums > 1 else 50
         custom = {
             'seed': args.seed,
             'train_cfgs': {'total_steps': steps,
-                           'vector_env_nums': args.vector_env_nums},
-            'algo_cfgs': {'steps_per_epoch': 500, 'update_cycle': 5,
-                          'update_iters': 5 * args.vector_env_nums,
+                           'vector_env_nums': args.vector_env_nums,
+                           # keep the reference's one-eval-per-2000-transition
+                           # cadence regardless of epoch size
+                           'eval_epoch_freq': max(2000 // (500 * args.vector_env_nums), 1)},
+            'algo_cfgs': {'steps_per_epoch': 500, 'update_cycle': cycle,
+                          'update_iters': cycle * args.vector_env_nums,
                           # reference λ warm-up spans 200k transitions
                           # (warmup_epochs 100 x steps_per_epoch 2000,
                           # SACLag.yaml:36,80); our epochs are 500*N
@@ -185,9 +193,9 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
                           'size': 1_000_000 // args.vector_env_nums},
             # reference λ ascends once PER TRANSITION at lambda_lr=1e-5
             # (update_cycle: 1, configs/off-policy/SACLag.yaml:38,128); ours
-            # ascends once per cycle of 5*num_envs transitions, so the Adam
-            # rate scales by the cycle size (8e-4 at 16 envs, 5e-5 at 1)
-            'lagrange_cfgs': {'lambda_lr': 1.0e-5 * 5 * args.vector_env_nums},
+            # ascends once per cycle, so the Adam rate scales by the cycle's
+            # transition count (8e-4 at 16 envs, 5e-4 at 1)
+            'lagrange_cfgs': {'lambda_lr': 1.0e-5 * cycle * args.vector_env_nums},
             # the reference's λ reads a 10-episode window collected by ONE
             # env = ~10k steps of policy history; with N parallel envs the
             # same smoothing span needs 10*N episodes (window 10 at 16 envs
@@ -199,6 +207,7 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
         }
         if args.algo in ('DDPG', 'TD3', 'SAC'):
             custom.pop('lagrange_cfgs')
+            custom['algo_cfgs'].pop('warmup_epochs')  # Lagrangian-only knob
         # the off-policy trainer counts epochs in PER-ENV steps:
         # epochs = total_steps // algo_cfgs.steps_per_epoch (ddpg.py), so a
         # 62500-step cell runs 125 epochs of 500 per-env steps each

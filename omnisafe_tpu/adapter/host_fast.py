@@ -135,10 +135,11 @@ class _NpStats:
         return np.clip(out, -clip, clip)
 
 
-class FastHostOnPolicyRunner:
-    """Drop-in replacement for ``HostRolloutRunner`` on the standard stack."""
+class _FastStackBase:
+    """Shared wrapper-chain parsing + running-stats pack/unpack for the numpy
+    fast runners."""
 
-    def __init__(self, env_stack: CMDP, actor_critic: Any) -> None:
+    def __init__(self, env_stack: CMDP) -> None:
         chain: List[Wrapper] = []
         node: Any = env_stack
         while isinstance(node, Wrapper):
@@ -150,10 +151,6 @@ class FastHostOnPolicyRunner:
         allowed = (ActionScale, ObsNormalize, RewardNormalize, CostNormalize)
         if not all(isinstance(w, allowed) for w in chain):
             raise Ineligible(f'unsupported wrapper in {[type(w).__name__ for w in chain]}')
-        if not isinstance(actor_critic.actor, GaussianLearningActor):
-            raise Ineligible(f'actor {type(actor_critic.actor).__name__} not supported')
-        if not isinstance(actor_critic.reward_critic, VCritic):
-            raise Ineligible('non-VCritic reward critic')
 
         self._base = base
         self._num_envs = int(base.num_envs)
@@ -169,14 +166,6 @@ class FastHostOnPolicyRunner:
         else:
             self._scale = np.ones(self._act_dim, np.float32)
             self._offset = np.zeros(self._act_dim, np.float32)
-        self._ac = actor_critic
-        try:  # actor and critics may configure different activations
-            self._actor_act = _ACT[actor_critic.actor.activation]
-            self._critic_act = _ACT[actor_critic.reward_critic.activation]
-        except KeyError as exc:  # softplus/gelu etc: fall back, don't crash
-            raise Ineligible(f'activation {exc} not in the numpy fast path') from exc
-        if actor_critic.cost_critic.activation != actor_critic.reward_critic.activation:
-            raise Ineligible('mismatched reward/cost critic activations')
 
     # ------------------------------------------------------------- carry I/O
     def _stats_order(self) -> List[str]:
@@ -225,6 +214,25 @@ class FastHostOnPolicyRunner:
         zeros = jnp.zeros((self._num_envs,))
         return RolloutCarry(env_state=self._pack(stats), obs=jnp.asarray(obs),
                             ep_ret=zeros, ep_cost=zeros, ep_len=zeros)
+
+
+class FastHostOnPolicyRunner(_FastStackBase):
+    """Drop-in replacement for ``HostRolloutRunner`` on the standard stack."""
+
+    def __init__(self, env_stack: CMDP, actor_critic: Any) -> None:
+        super().__init__(env_stack)
+        if not isinstance(actor_critic.actor, GaussianLearningActor):
+            raise Ineligible(f'actor {type(actor_critic.actor).__name__} not supported')
+        if not isinstance(actor_critic.reward_critic, VCritic):
+            raise Ineligible('non-VCritic reward critic')
+        self._ac = actor_critic
+        try:  # actor and critics may configure different activations
+            self._actor_act = _ACT[actor_critic.actor.activation]
+            self._critic_act = _ACT[actor_critic.reward_critic.activation]
+        except KeyError as exc:  # softplus/gelu etc: fall back, don't crash
+            raise Ineligible(f'activation {exc} not in the numpy fast path') from exc
+        if actor_critic.cost_critic.activation != actor_critic.reward_critic.activation:
+            raise Ineligible('mismatched reward/cost critic activations')
 
     # --------------------------------------------------------------- rollout
     # test hook: when set, called as noise(T, B, A) -> array instead of the RNG
@@ -356,4 +364,162 @@ class FastHostOnPolicyRunner:
         return new_carry, traj, jnp.asarray(last_vr), jnp.asarray(last_vc), metrics
 
 
-__all__ = ['FastHostOnPolicyRunner', 'Ineligible']
+class FastHostOffPolicyRunner(_FastStackBase):
+    """numpy fast collector for off-policy learners on host-backed envs —
+    external-store mode only (the accelerator-learner epoch,
+    algorithms/off_policy/ddpg.py ``_epoch_host_accel``).
+
+    Drop-in for :class:`adapter.host_loop.HostOffPolicyRunner` with
+    ``buffer=None``: the per-step jitted policy/store calls (~1-3 ms each)
+    become one numpy MLP forward per step, so a 50-transition cycle costs
+    physics + microseconds instead of 100 jit dispatches.  Supports the
+    off-policy actors: GaussianSACActor (tanh-squashed sample / tanh(mean)
+    deterministic, models/actor.py:56-75) and MLPActor (+ optional clipped
+    Gaussian exploration noise, reference: mlp_actor.py:75-96).
+    """
+
+    def __init__(self, env_stack: CMDP, actor: Any, use_exploration_noise: bool,
+                 exploration_noise: float) -> None:
+        super().__init__(env_stack)
+        from omnisafe_tpu.models.actor import (  # pylint: disable=import-outside-toplevel
+            GaussianSACActor,
+            MLPActor,
+        )
+
+        if isinstance(actor, GaussianSACActor):
+            self._sac_actor = True
+        elif isinstance(actor, MLPActor):
+            self._sac_actor = False
+        else:
+            raise Ineligible(f'actor {type(actor).__name__} not supported')
+        try:
+            self._actor_act = _ACT[actor.activation]
+        except KeyError as exc:
+            raise Ineligible(f'activation {exc} not in the numpy fast path') from exc
+        self._use_noise = bool(use_exploration_noise)
+        self._noise_scale = float(exploration_noise)
+
+    def _policy(self, net, obs: np.ndarray, rng, deterministic: bool) -> np.ndarray:
+        out = _forward(net, obs, self._actor_act)
+        if self._sac_actor:
+            mean, log_std = np.split(out, 2, axis=-1)
+            if deterministic:
+                return np.tanh(mean)
+            log_std = np.clip(log_std, -20.0, 2.0)
+            z = mean + np.exp(log_std) * rng.standard_normal(
+                mean.shape, dtype=np.float32)
+            return np.tanh(z)
+        act = np.tanh(out)
+        if self._use_noise and not deterministic:
+            act = np.clip(
+                act + self._noise_scale * rng.standard_normal(
+                    act.shape, dtype=np.float32),
+                -1.0, 1.0,
+            )
+        return act
+
+    # --------------------------------------------------------------- rollout
+    # pylint: disable-next=too-many-locals,too-many-statements
+    def rollout(self, carry: RolloutCarry, buf_state: Any, policy_state: Any,
+                key: Array, steps: int, use_rand) -> Tuple[RolloutCarry, Any, Any]:
+        """Collect ``steps`` host steps; returns the stacked transition
+        pytree (external-store contract of HostOffPolicyRunner.rollout,
+        adapter/host_loop.py)."""
+        assert buf_state is None, 'fast off-policy runner is external-store only'
+        T, B, O, A = steps, self._num_envs, self._obs_dim, self._act_dim
+        net = _mlp_weights(policy_state.actor, 'net')
+        stats = self._unpack(carry.env_state)
+        host_step = self._base.host_step_direct
+        rand = bool(use_rand)
+
+        obs = np.asarray(carry.obs, np.float32)
+        ep_ret = np.asarray(carry.ep_ret, np.float32).copy()
+        ep_cost = np.asarray(carry.ep_cost, np.float32).copy()
+        ep_len = np.asarray(carry.ep_len, np.float32).copy()
+
+        if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key_arr = np.asarray(jax.random.key_data(key))
+        else:
+            key_arr = np.asarray(key)
+        rng = np.random.default_rng([int(x) for x in key_arr.reshape(-1)])
+
+        r_obs = np.empty((T, B, O), np.float32)
+        r_act = np.empty((T, B, A), np.float32)
+        r_reward = np.empty((T, B), np.float32)
+        r_cost = np.empty((T, B), np.float32)
+        r_tddone = np.empty((T, B), np.float32)
+        r_next = np.empty((T, B, O), np.float32)
+        r_done = np.empty((T, B), bool)
+        r_ep_ret = np.empty((T, B), np.float32)
+        r_ep_cost = np.empty((T, B), np.float32)
+        r_ep_len = np.empty((T, B), np.float32)
+
+        for t in range(T):
+            if rand:
+                act = rng.uniform(-1.0, 1.0, (B, A)).astype(np.float32)
+            else:
+                act = self._policy(net, obs, rng, deterministic=False)
+            r_obs[t] = obs
+            r_act[t] = act
+
+            native = (self._offset + self._scale * act).astype(np.float64)
+            raw_obs, reward, cost, term, trunc, final_obs = host_step(native)
+
+            if self._obs_norm:
+                st = stats['obs']
+                st.update(raw_obs)
+                next_obs = st.normalize(raw_obs)
+                final_obs_n = st.normalize(final_obs)
+            else:
+                next_obs, final_obs_n = raw_obs, final_obs
+            reward_n = reward
+            if self._rew_norm:
+                st = stats['reward']
+                st.update(reward)
+                reward_n = st.normalize(reward)
+            cost_n = cost
+            if self._cost_norm:
+                st = stats['cost']
+                st.update(cost)
+                cost_n = st.normalize(cost)
+
+            done = np.logical_or(term, trunc)
+            # TD bootstrap convention: done = terminated AND NOT truncated;
+            # real next obs = pre-reset final obs at episode end
+            # (reference: offpolicy_adapter.py:136-149)
+            r_reward[t] = reward_n
+            r_cost[t] = cost_n
+            r_tddone[t] = np.logical_and(term, np.logical_not(trunc))
+            r_next[t] = np.where(done[:, None], final_obs_n, next_obs)
+            ep_ret += reward
+            ep_cost += cost
+            ep_len += 1.0
+            r_done[t] = done
+            r_ep_ret[t] = ep_ret
+            r_ep_cost[t] = ep_cost
+            r_ep_len[t] = ep_len
+            not_done = 1.0 - done.astype(np.float32)
+            ep_ret *= not_done
+            ep_cost *= not_done
+            ep_len *= not_done
+            obs = next_obs.astype(np.float32)
+
+        new_carry = RolloutCarry(
+            env_state=self._pack(stats), obs=jnp.asarray(obs),
+            ep_ret=jnp.asarray(ep_ret), ep_cost=jnp.asarray(ep_cost),
+            ep_len=jnp.asarray(ep_len),
+        )
+        transitions = {
+            'obs': r_obs, 'act': r_act, 'reward': r_reward, 'cost': r_cost,
+            'done': r_tddone, 'next_obs': r_next,
+        }
+        metrics = EpisodeMetrics(done=r_done, ep_ret=r_ep_ret,
+                                 ep_cost=r_ep_cost, ep_len=r_ep_len)
+        return new_carry, transitions, metrics
+
+    def eval_episode(self, policy_state: Any, key: Array,
+                     eval_stack_runner=None):  # pragma: no cover - thin
+        raise NotImplementedError('use HostEvalRunner for evaluation')
+
+
+__all__ = ['FastHostOnPolicyRunner', 'FastHostOffPolicyRunner', 'Ineligible']

@@ -437,11 +437,32 @@ class DDPG(BaseAlgo):
         )
         from omnisafe_tpu.adapter.onpolicy import build_env_stack  # pylint: disable=import-outside-toplevel
 
-        self._host_runner = HostOffPolicyRunner(
-            self._adapter.env,
-            lambda params, obs, k: self._predict(params, obs, k, deterministic=False),
-            None if external_store else self._buffer,
-        )
+        self._host_runner = None
+        if external_store:
+            # numpy fast path: one host MLP forward per step instead of a
+            # jitted dispatch (adapter/host_fast.py); falls back below when
+            # the actor/wrapper stack is outside its oracle-tested envelope
+            from omnisafe_tpu.adapter.host_fast import (  # pylint: disable=import-outside-toplevel
+                FastHostOffPolicyRunner,
+                Ineligible,
+            )
+
+            algo = self._cfgs.algo_cfgs
+            try:
+                self._host_runner = FastHostOffPolicyRunner(
+                    self._adapter.env,
+                    self._actor_critic.actor,
+                    bool(algo.get('use_exploration_noise', False)),
+                    float(algo.get('exploration_noise', 0.0)),
+                )
+            except Ineligible:
+                self._host_runner = None
+        if self._host_runner is None:
+            self._host_runner = HostOffPolicyRunner(
+                self._adapter.env,
+                lambda params, obs, k: self._predict(params, obs, k, deterministic=False),
+                None if external_store else self._buffer,
+            )
         eval_stack = build_env_stack(self._env_id, 1, self._cfgs.algo_cfgs)
         self._host_eval = HostEvalRunner(
             eval_stack,
@@ -739,6 +760,11 @@ class DDPG(BaseAlgo):
                 epoch_jit = lambda st, Jc, lr, dl: self._epoch_host(update_jit, st, Jc, lr, dl)  # noqa: E731
         warmup_epochs = int(self._cfgs.algo_cfgs.get('warmup_epochs', -1))
         eval_episodes = int(self._cfgs.train_cfgs.get('eval_episodes', 1))
+        # evaluation cadence in epochs: the reference evaluates once per
+        # 2000-transition epoch (ddpg.py:268-336); smaller steps_per_epoch
+        # settings can keep that cadence instead of paying a full eval
+        # episode every epoch
+        eval_freq = int(self._cfgs.train_cfgs.get('eval_epoch_freq', 1))
         decay = bool(self._cfgs.model_cfgs.get('linear_lr_decay', False))
 
         start_epoch = int(getattr(self, '_start_epoch', 0))
@@ -757,7 +783,7 @@ class DDPG(BaseAlgo):
             rollout_update_time = time.time() - epoch_start
 
             eval_time = 0.0
-            if eval_episodes > 0:
+            if eval_episodes > 0 and (epoch + 1) % eval_freq == 0:
                 eval_start = time.time()
                 self._key, eval_key = jax.random.split(self._key)
                 test_ret, test_cost, test_len = eval_jit(state, eval_key)

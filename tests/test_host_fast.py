@@ -151,3 +151,78 @@ def test_fast_runner_rejects_unsupported_stacks():
     from omnisafe_tpu.envs.core import make
     with pytest.raises(Ineligible):
         FastHostOnPolicyRunner(make('Test-v0'), ac)  # not host-backed
+
+
+def _q_model_cfgs(actor_type):
+    return Config(
+        actor_type=actor_type,
+        weight_initialization_mode='kaiming_uniform',
+        actor=Config(hidden_sizes=[8, 8], activation='relu', lr=3e-4),
+        critic=Config(num_critics=2, hidden_sizes=[8, 8], activation='relu', lr=3e-4),
+    )
+
+
+def test_fast_offpolicy_runner_matches_jax_runner_deterministic():
+    """External-store contract parity with HostOffPolicyRunner on a
+    deterministic (MLPActor, no noise) policy: identical transitions,
+    TD-done convention, real-next-obs patching, and episode metrics."""
+    from omnisafe_tpu.adapter.host_fast import FastHostOffPolicyRunner
+    from omnisafe_tpu.adapter.host_loop import HostOffPolicyRunner
+    from omnisafe_tpu.models.actor_critic import ConstraintActorQCritic
+
+    steps = 12
+    stack_a = build_env_stack('FakeHost-v0', B, _algo_cfgs(
+        obs_normalize=False, cost_normalize=True))
+    stack_b = build_env_stack('FakeHost-v0', B, _algo_cfgs(
+        obs_normalize=False, cost_normalize=True))
+    ac = ConstraintActorQCritic(stack_a.observation_space, stack_a.action_space,
+                                _q_model_cfgs('mlp'))
+    params = ac.init(jax.random.key(11))
+
+    def predict(p, obs, k):
+        del k
+        return ac.actor.apply(p.actor, obs)
+
+    jr = HostOffPolicyRunner(stack_a, predict, None)
+    fr = FastHostOffPolicyRunner(stack_b, ac.actor, False, 0.0)
+
+    carry_j = jr.reset(jax.random.key(0))
+    carry_f = fr.reset(jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(carry_j.obs), np.asarray(carry_f.obs),
+                               atol=1e-6)
+    carry_j, tr_j, ep_j = jr.rollout(carry_j, None, params, jax.random.key(1),
+                                     steps, False)
+    carry_f, tr_f, ep_f = fr.rollout(carry_f, None, params, jax.random.key(1),
+                                     steps, False)
+    for name in ('obs', 'act', 'reward', 'cost', 'done', 'next_obs'):
+        np.testing.assert_allclose(
+            np.asarray(tr_j[name], np.float32), np.asarray(tr_f[name], np.float32),
+            atol=2e-4, err_msg=name)
+    for name in ('done', 'ep_ret', 'ep_cost', 'ep_len'):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ep_j, name), np.float32),
+            np.asarray(getattr(ep_f, name), np.float32), atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(carry_j.obs), np.asarray(carry_f.obs),
+                               atol=2e-4)
+
+
+def test_fast_offpolicy_sac_actor_matches_flax():
+    """numpy SAC policy forward == flax TanhNormal mode (deterministic) and
+    stays inside [-1, 1] when sampling."""
+    from omnisafe_tpu.adapter.host_fast import FastHostOffPolicyRunner
+    from omnisafe_tpu.models.actor_critic import ConstraintActorQCritic
+
+    stack = build_env_stack('FakeHost-v0', B, _algo_cfgs(obs_normalize=False))
+    ac = ConstraintActorQCritic(stack.observation_space, stack.action_space,
+                                _q_model_cfgs('gaussian_sac'))
+    params = ac.init(jax.random.key(3))
+    fr = FastHostOffPolicyRunner(stack, ac.actor, False, 0.0)
+    from omnisafe_tpu.adapter.host_fast import _mlp_weights
+    net = _mlp_weights(params.actor, 'net')
+    rng = np.random.default_rng(0)
+    obs = rng.normal(size=(B, 2)).astype(np.float32)
+    det = fr._policy(net, obs, rng, deterministic=True)
+    dist = ac.actor.apply(params.actor, jnp.asarray(obs))
+    np.testing.assert_allclose(det, np.asarray(dist.mode()), atol=1e-5)
+    samp = fr._policy(net, obs, rng, deterministic=False)
+    assert np.all(np.abs(samp) <= 1.0)
