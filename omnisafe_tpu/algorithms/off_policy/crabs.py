@@ -58,6 +58,11 @@ class CrabsExtra:
 class CRABS(SAC):
     """SAC with a co-trained barrier certificate for safe exploration."""
 
+    # exploration is ALWAYS barrier-filtered; the reference never takes
+    # uniform-random warm-up actions (reference: crabs.py:233-319 passes
+    # use_rand_action=False on every rollout)
+    _rand_warmup = False
+
     def _init(self) -> None:
         super()._init()
         crabs = self._cfgs.crabs_cfgs

@@ -63,6 +63,11 @@ class DDPG(BaseAlgo):
     """Deep Deterministic Policy Gradient."""
 
     _algo_type = 'off-policy'
+    # uniform-random warm-up actions before start_learning_steps (reference:
+    # ddpg.py:254-348).  CRABS sets this False: its exploration is ALWAYS
+    # barrier-filtered — the reference never passes use_rand_action=True
+    # (reference: crabs.py:233-319).
+    _rand_warmup = True
 
     # ------------------------------------------------------------------ init
     def _init_env(self) -> None:
@@ -377,7 +382,9 @@ class DDPG(BaseAlgo):
         def cycle(carry, cycle_key):
             st = carry
             roll_key, upd_key = jax.random.split(cycle_key)
-            use_rand = st.global_step <= start_learning
+            use_rand = jnp.logical_and(
+                st.global_step <= start_learning, self._rand_warmup
+            )
             rollout_carry, buf_state, ep_metrics = self._adapter.rollout(
                 st.rollout,
                 self._buffer,
@@ -539,7 +546,7 @@ class DDPG(BaseAlgo):
             if pending_actor is not None:
                 cpu_params = cpu_params.replace(actor=pending_actor)
                 pending_actor = None
-            use_rand = int(state.global_step) <= start_learning
+            use_rand = self._rand_warmup and int(state.global_step) <= start_learning
             carry, transitions, ep_m = runner.rollout(
                 state.rollout, None, cpu_params, roll_key,
                 self._update_cycle, use_rand,
@@ -623,7 +630,7 @@ class DDPG(BaseAlgo):
         key = state.key
         for _ in range(self._samples_per_epoch):
             key, roll_key, upd_key = jax.random.split(key, 3)
-            use_rand = int(state.global_step) <= start_learning
+            use_rand = self._rand_warmup and int(state.global_step) <= start_learning
             carry, buf_state, ep_m = runner.rollout(
                 state.rollout, state.buffer, state.params, roll_key,
                 self._update_cycle, use_rand,
