@@ -138,24 +138,38 @@ class CRABS(SAC):
 
     # -------------------------------------------------- safe exploration
     def _behavior_policy(self, st):
-        """Barrier-filtered exploration (reference: crabs.py:230-320)."""
+        """Barrier-filtered exploration (reference: models.py:440-496
+        ``ExplorationPolicy``): candidates are the actor's pre-tanh mean plus
+        Gaussian noise scaled by a log-spaced DECAY over candidates (the last
+        candidates are essentially the mean action), and the chosen action is
+        the FIRST candidate the certificate accepts (U ≤ 0) — the most
+        exploratory certified-safe one — falling back to the mean action when
+        none certifies."""
         extra: CrabsExtra = st.extra
         n = self._num_candidates
 
         def policy(obs: Array, key: Array) -> Array:
             dist = self._actor_critic.actor.apply(st.params.actor, obs)
-            keys = jax.random.split(key, n)
-            candidates = jnp.stack([dist.sample(k) for k in keys])  # (n, B, A)
+            mu, std = dist.base.loc, dist.base.scale  # pre-tanh Gaussian
+            mean_act = jnp.tanh(mu)
+            decay = jnp.logspace(0.0, -3.0, n)  # (n,)
+            noise = jax.random.normal(key, (n,) + mu.shape)
+            candidates = jnp.tanh(
+                mu[None] + noise * std[None] * decay[:, None, None]
+            )  # (n, B, A)
             b = obs.shape[0]
             flat_obs = jnp.broadcast_to(obs[None], (n,) + obs.shape).reshape(n * b, -1)
             flat_act = candidates.reshape(n * b, -1)
             u = self._core.u(
                 extra.h_params, extra.dynamics, st.params.actor, flat_obs, flat_act
             ).reshape(n, b)
-            safest = jnp.argmin(u, axis=0)
-            return jnp.take_along_axis(
-                candidates, safest[None, :, None], axis=0
+            certified = u <= 0.0
+            first_safe = jnp.argmax(certified, axis=0)          # first True
+            any_safe = jnp.any(certified, axis=0)
+            chosen = jnp.take_along_axis(
+                candidates, first_safe[None, :, None], axis=0
             )[0]
+            return jnp.where(any_safe[:, None], chosen, mean_act)
 
         return policy
 
