@@ -205,9 +205,9 @@ def run_modelbased_physics(args) -> None:
     cfgs = {
         'seed': 0,
         'train_cfgs': {'total_steps': args.steps},
-        # planner sized for 2 CPU cores: LOOP-scale candidate pool; chunk 4
-        # => one planning call per 20 env steps (action_repeat 5)
-        'planner_cfgs': {'plan_chunk': 4, 'num_samples': 100,
+        # planner sized for 2 CPU cores: LOOP-scale candidate pool; chunk 8
+        # => one planning call per 40 env steps (action_repeat 5)
+        'planner_cfgs': {'plan_chunk': 8, 'num_samples': 100,
                          'num_particles': 5, 'num_elites': 10},
         'dynamics_cfgs': {'num_ensemble': 5, 'elite_size': 5},
         'evaluation_cfgs': {'use_eval': False},
@@ -222,7 +222,7 @@ def run_modelbased_physics(args) -> None:
     os.makedirs(EVIDENCE, exist_ok=True)
     with open(out_path, 'w', encoding='utf-8') as handle:
         json.dump({'algo': args.algo, 'env': env_id, 'steps': args.steps,
-                   'plan_chunk': 4, 'final_window_ret': r_tail,
+                   'plan_chunk': 8, 'final_window_ret': r_tail,
                    'final_window_cost': c_tail, 'last_ret': ret,
                    'last_cost': cost, 'curve': curve}, handle, indent=2)
     print(f'[evidence] {args.algo} physics: ret={r_tail:.2f} cost={c_tail:.2f}',
@@ -323,7 +323,7 @@ def main() -> int:
     mb.add_argument('--steps-per-epoch', type=int, default=4000)
     mbp = sub.add_parser('modelbased-physics')
     mbp.add_argument('--algo', default='CCEPETS')
-    mbp.add_argument('--steps', type=int, default=150_000)
+    mbp.add_argument('--steps', type=int, default=60_000)
     goal = sub.add_parser('goal')
     goal.add_argument('--algo', default='PPOLag')
     goal.add_argument('--steps', type=int, default=10_000_000)
