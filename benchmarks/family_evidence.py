@@ -205,9 +205,11 @@ def run_modelbased_physics(args) -> None:
     cfgs = {
         'seed': 0,
         'train_cfgs': {'total_steps': args.steps},
-        # planner sized for 2 CPU cores: LOOP-scale candidate pool; chunk 8
-        # => one planning call per 40 env steps (action_repeat 5)
-        'planner_cfgs': {'plan_chunk': 8, 'num_samples': 100,
+        # planner sized for 2 CPU cores: LOOP-scale candidate pool; chunk 5
+        # of a 10-step horizon => one planning call per 25 env steps
+        # (action_repeat 5)
+        'planner_cfgs': {'plan_chunk': 5, 'plan_horizon': 10,
+                         'num_iterations': 3, 'num_samples': 100,
                          'num_particles': 5, 'num_elites': 10},
         'dynamics_cfgs': {'num_ensemble': 5, 'elite_size': 5},
         'evaluation_cfgs': {'use_eval': False},
@@ -222,7 +224,7 @@ def run_modelbased_physics(args) -> None:
     os.makedirs(EVIDENCE, exist_ok=True)
     with open(out_path, 'w', encoding='utf-8') as handle:
         json.dump({'algo': args.algo, 'env': env_id, 'steps': args.steps,
-                   'plan_chunk': 8, 'final_window_ret': r_tail,
+                   'plan_chunk': 5, 'final_window_ret': r_tail,
                    'final_window_cost': c_tail, 'last_ret': ret,
                    'last_cost': cost, 'curve': curve}, handle, indent=2)
     print(f'[evidence] {args.algo} physics: ret={r_tail:.2f} cost={c_tail:.2f}',

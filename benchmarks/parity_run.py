@@ -105,16 +105,18 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
                         help='force the CPU backend even for off-policy cells '
                              '(e.g. while another run holds the TPU)')
     parser.add_argument('--tag-suffix', default='',
-                        help='suffix for the cell tag (e.g. -ext15M for an '
+                        help='suffix for the cell tag (e.g. ext15M for an '
                              'extension run seeded from a finished cell\'s '
-                             'work dir without overwriting its summary)')
+                             'work dir without overwriting its summary; a '
+                             'joining dash is added automatically)')
     parser.add_argument('--reeval', action='store_true',
                         help='augment an existing summary with the final-policy '
                              'evaluation protocol (no training)')
     parser.add_argument('--out', default=os.path.join(os.path.dirname(__file__), 'parity'))
     args = parser.parse_args()
 
-    tag = f'{args.algo}-{args.env}-seed{args.seed}{args.tag_suffix}'
+    suffix = args.tag_suffix.lstrip('-')
+    tag = f'{args.algo}-{args.env}-seed{args.seed}' + (f'-{suffix}' if suffix else '')
     out_dir = os.path.join(args.out, tag)
     summary_path = os.path.join(out_dir, 'summary.json')
     if os.path.exists(summary_path):

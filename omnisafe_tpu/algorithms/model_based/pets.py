@@ -89,6 +89,10 @@ class PETS(BaseAlgo):
         assert self._plan_steps_per_cycle % self._plan_chunk == 0, (
             'plan_chunk must divide update_dynamics_cycle // action_repeat'
         )
+        assert self._plan_chunk <= int(cfgs.planner_cfgs.plan_horizon), (
+            'plan_chunk cannot exceed plan_horizon (the executed prefix is '
+            'part of the optimized sequence)'
+        )
         self._cycles_per_epoch = max(self._steps_per_epoch // self._dynamics_cycle, 1)
 
     def _init_model(self) -> None:
