@@ -34,7 +34,7 @@ EVIDENCE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'evidence')
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument('--chunks', default='1,8')
+    parser.add_argument('--chunks', default='1,4')
     parser.add_argument('--cycles', type=int, default=5)
     parser.add_argument('--cpu', action='store_true')
     args = parser.parse_args()
