@@ -44,14 +44,33 @@ def build_env_stack(
     inner_wrapper: Optional[Callable[[CMDP], CMDP]] = None,
     outer_wrapper: Optional[Callable[[CMDP], CMDP]] = None,
     time_limit: Optional[int] = None,
+    early_term_cost_limit: Optional[float] = None,
     **env_kwargs: Any,
 ) -> CMDP:
-    """Assemble the wrapper stack in the reference's fixed order."""
+    """Assemble the wrapper stack in the reference's fixed order.
+
+    ``early_term_cost_limit`` (EarlyTerminated family) is declarative
+    because the two backends implement it at different layers: pure-JAX
+    envs get :class:`EarlyTerminatedWrapper` under AutoReset, host-backed
+    vectorized envs (which own their auto-reset) implement it inside the
+    host step loop (envs/host_mujoco.py ``early_term_cost_limit``).
+    """
     from omnisafe_tpu.envs.core import _ENV_REGISTRY  # pylint: disable=import-outside-toplevel
 
     cls = _ENV_REGISTRY.get(env_id)
     if cls is not None and getattr(cls, 'is_vectorized', False):
         # host-backed envs own their batch and auto-reset themselves
+        if inner_wrapper is not None:
+            raise ValueError(
+                f'{env_id} is host-vectorized: single-env inner wrappers '
+                f'cannot sit under its host-side auto-reset'
+            )
+        if early_term_cost_limit is not None:
+            if not getattr(cls, 'supports_host_early_term', False):
+                raise ValueError(
+                    f'{env_id} does not implement host-side early termination'
+                )
+            env_kwargs['early_term_cost_limit'] = early_term_cost_limit
         env = make(env_id, num_envs=num_envs, **env_kwargs)
     else:
         env = make(env_id, **env_kwargs)
@@ -59,6 +78,10 @@ def build_env_stack(
             env = TimeLimit(env, time_limit or env.max_episode_steps)
         # inner wrappers (EarlyTerminated) sit under AutoReset so their
         # termination triggers the in-step reset
+        if early_term_cost_limit is not None:
+            from omnisafe_tpu.adapter.saute import EarlyTerminatedWrapper  # pylint: disable=import-outside-toplevel
+
+            env = EarlyTerminatedWrapper(env, early_term_cost_limit)
         if inner_wrapper is not None:
             env = inner_wrapper(env)
         if env.need_auto_reset_wrapper:

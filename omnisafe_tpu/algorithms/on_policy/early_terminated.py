@@ -9,7 +9,6 @@ vectorizes for free.
 
 from __future__ import annotations
 
-from omnisafe_tpu.adapter.saute import EarlyTerminatedWrapper
 from omnisafe_tpu.algorithms.on_policy.ppo import PPO
 from omnisafe_tpu.algorithms.on_policy.trpo import TRPO
 from omnisafe_tpu.algorithms.registry import registry
@@ -17,8 +16,10 @@ from omnisafe_tpu.algorithms.registry import registry
 
 class _EarlyTerminatedEnvMixin:
     def _env_kwargs(self):
-        cost_limit = float(self._cfgs.algo_cfgs.cost_limit)
-        return {'inner_wrapper': lambda env: EarlyTerminatedWrapper(env, cost_limit)}
+        # declarative so build_env_stack can route it to the right layer
+        # (jitted wrapper for pure-JAX envs, host step loop for
+        # host-vectorized envs — see adapter/onpolicy.py:build_env_stack)
+        return {'early_term_cost_limit': float(self._cfgs.algo_cfgs.cost_limit)}
 
 
 @registry.register

@@ -52,6 +52,7 @@ class HostMujocoVelocityEnv(CMDP):
     need_auto_reset_wrapper = False   # auto-reset happens host-side
     is_vectorized = True
     host_backed = True                # eligible for the host-driven rollout
+    supports_host_early_term = True   # EarlyTerminated inside the host loop
 
     def __init__(self, env_id: str, num_envs: int = 1, **kwargs: Any) -> None:
         super().__init__(env_id, **kwargs)
@@ -76,6 +77,16 @@ class HostMujocoVelocityEnv(CMDP):
         # the reference ActionRepeat semantics (omnisafe/envs/wrapper.py:
         # 517-574)
         self._action_repeat = int(kwargs.get('action_repeat', 1))
+        # host-side early termination (EarlyTerminated family): once an
+        # episode's accumulated cost exceeds the limit the step reports
+        # reward 0 / terminated and the episode resets — the reference
+        # EarlyTerminatedAdapter semantics (early_terminated_adapter.py:
+        # 77-88), implemented inside the host loop because this env owns
+        # its own auto-reset (the jitted EarlyTerminatedWrapper cannot sit
+        # under a host-side reset).
+        limit = kwargs.get('early_term_cost_limit')
+        self._early_term_limit = None if limit is None else float(limit)
+        self._acc_cost = np.zeros(num_envs, np.float64)
 
     @property
     def num_envs(self) -> int:
@@ -99,6 +110,7 @@ class HostMujocoVelocityEnv(CMDP):
     # ------------------------------------------------------ host callbacks
     def _host_reset(self, seeds: np.ndarray) -> np.ndarray:
         obs = [env.reset(seed=int(s))[0] for env, s in zip(self._envs, seeds)]
+        self._acc_cost[:] = 0.0
         return np.stack(obs).astype(np.float32)
 
     def _host_step(self, actions: np.ndarray):
@@ -125,6 +137,13 @@ class HostMujocoVelocityEnv(CMDP):
                 c_sum += float(vel > self._velocity_limit)
                 if te or tr:  # stop early within the repeat window
                     break
+            if self._early_term_limit is not None:
+                self._acc_cost[i] += c_sum
+                if self._acc_cost[i] > self._early_term_limit:
+                    # accumulate-then-check, zero reward on the triggering
+                    # step (reference: early_terminated_adapter.py:80-87)
+                    r_sum = 0.0
+                    te = True
             reward[i] = r_sum
             cost[i] = c_sum
             term[i] = te
@@ -132,6 +151,7 @@ class HostMujocoVelocityEnv(CMDP):
             final_obs[i] = o
             if te or tr:
                 o, _ = env.reset()
+                self._acc_cost[i] = 0.0
             obs[i] = o
         return obs, reward, cost, term, trunc, final_obs
 

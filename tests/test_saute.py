@@ -7,6 +7,7 @@ oracle test the judge called out as the standard to meet.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -97,3 +98,59 @@ def test_simmer_initial_budget_is_relative():
     )
     _, obs = wrapper.reset(jax.random.key(0))
     np.testing.assert_allclose(float(obs[0, -1]), 0.5, rtol=1e-6)
+
+
+def test_host_early_termination_triggers_and_resets():
+    """Host-vectorized envs implement EarlyTerminated inside the host step
+    loop (envs/host_mujoco.py): accumulate-then-check, reward zeroed on the
+    triggering step, terminated flagged, per-env accumulator reset
+    (reference: early_terminated_adapter.py:77-88)."""
+    pytest.importorskip('mujoco')
+    from omnisafe_tpu.envs.core import make
+
+    # a negative limit makes the very first step trigger regardless of the
+    # actual velocity cost, exercising the trigger path deterministically
+    env = make('SafetySwimmerVelocity-v1-mujoco', num_envs=2,
+               early_term_cost_limit=-1.0)
+    env.host_reset_direct(np.asarray([0, 1]))
+    act = np.zeros((2,) + env.action_space.shape, np.float64)
+    _obs, reward, _cost, term, _trunc, _fobs = env.host_step_direct(act)
+    assert term.all(), 'acc cost > limit must terminate'
+    np.testing.assert_allclose(reward, 0.0)
+    assert (env._acc_cost == 0.0).all(), 'accumulator resets with the episode'
+
+    # an un-triggered env keeps its ordinary step semantics
+    env2 = make('SafetySwimmerVelocity-v1-mujoco', num_envs=1,
+                early_term_cost_limit=1e9)
+    env2.host_reset_direct(np.asarray([0]))
+    _obs, reward2, _cost, term2, _tr, _f = env2.host_step_direct(act[:1])
+    assert not term2.any()
+
+
+def test_build_env_stack_early_term_routing():
+    """build_env_stack routes early_term_cost_limit to the jitted wrapper on
+    pure-JAX envs and rejects opaque inner wrappers on host-vectorized envs
+    (the silent-drop bug that trained PPOEarlyTerminated as plain PPO)."""
+    pytest.importorskip('mujoco')
+    from omnisafe_tpu.adapter.onpolicy import build_env_stack
+    from omnisafe_tpu.adapter.saute import EarlyTerminatedWrapper
+    from omnisafe_tpu.utils.config import Config
+
+    cfgs = Config(obs_normalize=False, reward_normalize=False, cost_normalize=False)
+    stack = build_env_stack('Test-v0', 2, cfgs, early_term_cost_limit=5.0)
+    node, found = stack, False
+    while hasattr(node, '_env'):
+        found = found or isinstance(node, EarlyTerminatedWrapper)
+        node = node._env
+    assert found, 'pure-JAX path must insert EarlyTerminatedWrapper'
+
+    stack = build_env_stack('SafetySwimmerVelocity-v1-mujoco', 2, cfgs,
+                            early_term_cost_limit=5.0)
+    node = stack
+    while hasattr(node, '_env'):
+        node = node._env
+    assert node._early_term_limit == 5.0
+
+    with pytest.raises(ValueError):
+        build_env_stack('SafetySwimmerVelocity-v1-mujoco', 2, cfgs,
+                        inner_wrapper=lambda e: e)
