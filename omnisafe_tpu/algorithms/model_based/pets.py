@@ -248,6 +248,14 @@ class PETS(BaseAlgo):
                 return (rollout, buffer), record
 
             env_keys = jax.random.split(scan_key, chunk)
+            # Boundary behavior with plan_chunk > 1: an episode ending
+            # mid-chunk still executes the remaining open-loop actions
+            # (optimized for the terminated episode's state) on the freshly
+            # reset episode — only the warm start resets, below, after the
+            # whole chunk.  Up to chunk-1 post-reset steps therefore act on a
+            # stale plan; acceptable for small chunks (the throughput win is
+            # 26-82x, benchmarks/mb_throughput.py) and exact for the shipped
+            # plan_chunk: 1 defaults.
             (rollout, buffer), records = jax.lax.scan(
                 exec_step, (st.rollout, st.buffer), (acts, env_keys)
             )

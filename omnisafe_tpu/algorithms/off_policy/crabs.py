@@ -144,7 +144,14 @@ class CRABS(SAC):
         candidates are essentially the mean action), and the chosen action is
         the FIRST candidate the certificate accepts (U ≤ 0) — the most
         exploratory certified-safe one — falling back to the mean action when
-        none certifies."""
+        none certifies.
+
+        Deliberate deviation: the reference perturbs the already-squashed
+        mean (``tanh(tanh(mu) + noise*std*decay)``, models.py:469-477 — its
+        ``TanhNormal.mean`` is the squashed mean); here the noise is applied
+        pre-squash (``tanh(mu + noise*std*decay)``), avoiding the double
+        tanh so the decay→0 candidates converge to the actual mode instead
+        of ``tanh(tanh(mu))``."""
         extra: CrabsExtra = st.extra
         n = self._num_candidates
 

@@ -444,6 +444,15 @@ class DDPG(BaseAlgo):
         )
         from omnisafe_tpu.adapter.onpolicy import build_env_stack  # pylint: disable=import-outside-toplevel
 
+        # both host runners sample the RAW actor; an overridden behavior
+        # policy (CRABS' barrier-filtered exploration, which needs the full
+        # train state) would be silently bypassed — fail loudly instead
+        if type(self)._behavior_policy is not DDPG._behavior_policy:
+            raise NotImplementedError(
+                f'{type(self).__name__} overrides _behavior_policy; the '
+                f'host-backed rollout runners sample the raw actor and '
+                f'would silently drop the override — use a pure-JAX env'
+            )
         self._host_runner = None
         if external_store:
             # numpy fast path: one host MLP forward per step instead of a

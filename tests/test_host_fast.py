@@ -162,19 +162,22 @@ def _q_model_cfgs(actor_type):
     )
 
 
-def test_fast_offpolicy_runner_matches_jax_runner_deterministic():
+@pytest.mark.parametrize('obs_normalize', [False, True])
+def test_fast_offpolicy_runner_matches_jax_runner_deterministic(obs_normalize):
     """External-store contract parity with HostOffPolicyRunner on a
     deterministic (MLPActor, no noise) policy: identical transitions,
-    TD-done convention, real-next-obs patching, and episode metrics."""
+    TD-done convention, real-next-obs patching, and episode metrics.
+    The ``obs_normalize=True`` case pins the running-stats update order and
+    the normalized final_obs patching at episode ends (advisor round-4)."""
     from omnisafe_tpu.adapter.host_fast import FastHostOffPolicyRunner
     from omnisafe_tpu.adapter.host_loop import HostOffPolicyRunner
     from omnisafe_tpu.models.actor_critic import ConstraintActorQCritic
 
     steps = 12
     stack_a = build_env_stack('FakeHost-v0', B, _algo_cfgs(
-        obs_normalize=False, cost_normalize=True))
+        obs_normalize=obs_normalize, cost_normalize=True))
     stack_b = build_env_stack('FakeHost-v0', B, _algo_cfgs(
-        obs_normalize=False, cost_normalize=True))
+        obs_normalize=obs_normalize, cost_normalize=True))
     ac = ConstraintActorQCritic(stack_a.observation_space, stack_a.action_space,
                                 _q_model_cfgs('mlp'))
     params = ac.init(jax.random.key(11))
