@@ -182,6 +182,43 @@ def run_offline(args) -> None:
                   handle, indent=2)
 
 
+def run_offline_one(args) -> None:
+    """Single (algo, beta, seed) offline cell — targeted reruns (round-5:
+    the CCRR beta=0.5 seed-1 rerun of the multiplier-collapse anomaly)."""
+    algo, beta, seed = args.algo, args.beta, args.seed
+    out_path = os.path.join(
+        EVIDENCE, f'offline-{algo.lower()}-seed{seed}-beta{beta}.json')
+    if os.path.exists(out_path):
+        print(f'[evidence] {out_path} exists, skipping')
+        return
+    import omnisafe_tpu
+
+    dataset = os.path.join(WORK, f'dataset-beta{beta}.npz')
+    log_dir = os.path.join(WORK, f'{algo.lower()}-beta{beta}-seed{seed}')
+    agent = omnisafe_tpu.Agent(algo, OFFLINE_ENV, custom_cfgs={
+        'seed': seed,
+        'train_cfgs': {'dataset': dataset, 'total_steps': args.steps},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': log_dir,
+                        'save_model_freq': 1000},
+    })
+    agent.learn()
+    runs = sorted(glob.glob(os.path.join(log_dir, '**', 'progress.csv'),
+                            recursive=True), key=os.path.getmtime)
+    with open(runs[-1], encoding='utf-8') as handle:
+        rows = list(csv.DictReader(handle))
+    tail = rows[-3:]
+    mean = lambda key: sum(float(r[key]) for r in tail) / len(tail)  # noqa: E731
+    lam_keys = [k for k in rows[-1] if 'Lagrange' in k or 'multiplier' in k.lower()]
+    result = {'algo': algo, 'beta': beta, 'seed': seed,
+              'eval_ret': mean('Metrics/EpRet'), 'eval_cost': mean('Metrics/EpCost'),
+              **{k: float(rows[-1][k]) for k in lam_keys}}
+    os.makedirs(EVIDENCE, exist_ok=True)
+    with open(out_path, 'w', encoding='utf-8') as handle:
+        json.dump(result, handle, indent=2)
+    print(f'[evidence] {algo} seed={seed} beta={beta}: '
+          f'ret={result["eval_ret"]:.2f} cost={result["eval_cost"]:.2f}', flush=True)
+
+
 def run_modelbased_physics(args) -> None:
     """Model-based family on REAL MuJoCo physics (VERDICT round-3 item 6):
     PETS / CCEPETS / SafeLOOP on the physics-exact HalfCheetah velocity
@@ -334,6 +371,11 @@ def main() -> int:
     p_off = sub.add_parser('offline-run')
     p_off.add_argument('--algo', default='COptiDICE')
     p_off.add_argument('--steps', type=int, default=300_000)
+    p_one = sub.add_parser('offline-one')
+    p_one.add_argument('--algo', required=True)
+    p_one.add_argument('--beta', type=float, required=True)
+    p_one.add_argument('--seed', type=int, required=True)
+    p_one.add_argument('--steps', type=int, default=300_000)
     p_crabs = sub.add_parser('crabs')
     p_crabs.add_argument('--steps', type=int, default=30_000)
     args = parser.parse_args()
@@ -347,6 +389,8 @@ def main() -> int:
         run_offline_prep(args)
     elif args.cmd == 'crabs':
         run_crabs(args)
+    elif args.cmd == 'offline-one':
+        run_offline_one(args)
     else:
         run_offline(args)
     return 0

@@ -79,6 +79,26 @@ class BaseOffline(BaseAlgo):
                     ) -> Tuple[Any, Dict[str, Array]]:
         """One gradient step on one batch."""
 
+    # identity on a single device; parallel/offline.py rebinds it to a
+    # pmean over the dp mesh axis so every gradient site in the offline
+    # train steps becomes a cross-device reduction (same pattern as the
+    # on/off-policy programs' self._pmean)
+    _pmean = staticmethod(lambda tree: tree)
+
+    def _epoch_program(self, state: Any, key: Array, steps_per_epoch: int):
+        """One epoch = ``steps_per_epoch`` scanned (sample, train) steps;
+        shared by the single-device jit in :meth:`learn` and the dp
+        shard_map in ``parallel/offline.py``."""
+
+        def step(state, k):
+            k_sample, k_train = jax.random.split(k)
+            batch = self._dataset.sample(k_sample)
+            return self._train_step(state, batch, k_train)
+
+        keys = jax.random.split(key, steps_per_epoch)
+        state, metrics = jax.lax.scan(step, state, keys)
+        return state, jax.tree.map(jnp.mean, metrics)
+
     @abc.abstractmethod
     def _predict(self, state: Any, obs: Array, key: Array) -> Array:
         """Deterministic-ish policy for evaluation."""
@@ -107,17 +127,9 @@ class BaseOffline(BaseAlgo):
         steps_per_epoch = int(self._cfgs.algo_cfgs.steps_per_epoch)
         epochs = int(self._cfgs.train_cfgs.total_steps) // steps_per_epoch
 
-        def epoch_program(state, key):
-            def step(state, k):
-                k_sample, k_train = jax.random.split(k)
-                batch = self._dataset.sample(k_sample)
-                return self._train_step(state, batch, k_train)
-
-            keys = jax.random.split(key, steps_per_epoch)
-            state, metrics = jax.lax.scan(step, state, keys)
-            return state, jax.tree.map(jnp.mean, metrics)
-
-        epoch_jit = jax.jit(epoch_program)
+        epoch_jit = jax.jit(
+            lambda state, key: self._epoch_program(state, key, steps_per_epoch)
+        )
         eval_jit = jax.jit(
             lambda state, key: self._adapter.evaluate(
                 lambda obs, k: self._predict(state, obs, k), key

@@ -139,6 +139,7 @@ class BCQ(BaseOffline):
             return jnp.sum(jnp.mean(jnp.square(q - target[None]), axis=1)), jnp.mean(q[0])
 
         (r_loss, q_data), r_grads = jax.value_and_grad(rc_loss, has_aux=True)(state.reward_critic)
+        r_grads = self._pmean(r_grads)
         updates, rc_opt = self._rc_tx.update(r_grads, state.rc_opt, state.reward_critic)
         reward_critic = optax.apply_updates(state.reward_critic, updates)
 
@@ -154,6 +155,7 @@ class BCQ(BaseOffline):
                 return jnp.sum(jnp.mean(jnp.square(q - target_c[None]), axis=1))
 
             c_loss, c_grads = jax.value_and_grad(cc_loss)(state.cost_critic)
+            c_grads = self._pmean(c_grads)
             updates, cc_opt = self._cc_tx.update(c_grads, state.cc_opt, state.cost_critic)
             cost_critic = optax.apply_updates(state.cost_critic, updates)
         else:
@@ -165,6 +167,7 @@ class BCQ(BaseOffline):
             return recon + kl, (recon, kl)
 
         (v_loss, (recon, kl)), v_grads = jax.value_and_grad(vae_loss, has_aux=True)(state.vae)
+        v_grads = self._pmean(v_grads)
         updates, vae_opt = self._vae_tx.update(v_grads, state.vae_opt, state.vae)
         vae = optax.apply_updates(state.vae, updates)
 
@@ -182,6 +185,7 @@ class BCQ(BaseOffline):
         (a_loss, (qr_curr, qc_curr)), p_grads = jax.value_and_grad(pi_loss, has_aux=True)(
             state.pert
         )
+        p_grads = self._pmean(p_grads)
         updates, pert_opt = self._pert_tx.update(p_grads, state.pert_opt, state.pert)
         pert = optax.apply_updates(state.pert, updates)
 

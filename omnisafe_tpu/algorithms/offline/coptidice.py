@@ -146,6 +146,7 @@ class COptiDICE(BaseOffline):
             return loss, (adv, w_sa)
 
         (nu_loss, (adv, w_sa)), nu_grads = jax.value_and_grad(nu_loss_fn, has_aux=True)(state.nu)
+        nu_grads = self._pmean(nu_grads)
         updates, nu_opt = self._nu_tx.update(nu_grads, state.nu_opt, state.nu)
         nu_params = optax.apply_updates(state.nu, updates)
         w_sa_ng = jax.lax.stop_gradient(w_sa)
@@ -166,6 +167,7 @@ class COptiDICE(BaseOffline):
             return loss, kl
 
         (chi_loss, kl_div), chi_grads = jax.value_and_grad(chi_loss_fn, has_aux=True)(state.chi)
+        chi_grads = self._pmean(chi_grads)
         updates, chi_opt = self._chi_tx.update(chi_grads, state.chi_opt, state.chi)
         chi_params = optax.apply_updates(state.chi, updates)
         kl_div = jax.lax.stop_gradient(kl_div)
@@ -176,6 +178,7 @@ class COptiDICE(BaseOffline):
             return -tau * (kl_div - float(algo.cost_ub_eps))
 
         tau_loss, tau_grad = jax.value_and_grad(tau_loss_fn)(state.tau)
+        tau_grad = self._pmean(tau_grad)
         updates, tau_opt = self._tau_tx.update(tau_grad, state.tau_opt, state.tau)
         tau = jnp.maximum(optax.apply_updates(state.tau, updates), 1e-6)
 
@@ -184,6 +187,7 @@ class COptiDICE(BaseOffline):
             return -lamb * (cost_ub - float(algo.cost_limit))
 
         lamb_loss, lamb_grad = jax.value_and_grad(lamb_loss_fn)(state.lamb)
+        lamb_grad = self._pmean(lamb_grad)
         updates, lamb_opt = self._lamb_tx.update(lamb_grad, state.lamb_opt, state.lamb)
         new_lamb = jnp.clip(optax.apply_updates(state.lamb, updates), 0.0, 1e3)
 
@@ -194,6 +198,7 @@ class COptiDICE(BaseOffline):
             return -jnp.mean(w_sa_ng * logp), jnp.mean(dist.scale)
 
         (pi_loss, std), a_grads = jax.value_and_grad(pi_loss_fn, has_aux=True)(state.actor)
+        a_grads = self._pmean(a_grads)
         updates, actor_opt = self._actor_tx.update(a_grads, state.actor_opt, state.actor)
         actor = optax.apply_updates(state.actor, updates)
 

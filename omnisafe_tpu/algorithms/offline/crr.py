@@ -112,6 +112,7 @@ class CRR(BaseOffline):
             return jnp.sum(jnp.mean(jnp.square(q - target[None]), axis=1)), jnp.mean(q[0])
 
         (loss, q_data), grads = jax.value_and_grad(loss_fn, has_aux=True)(critic_params)
+        grads = self._pmean(grads)
         updates, opt = tx.update(grads, opt, critic_params)
         return optax.apply_updates(critic_params, updates), opt, loss, q_data
 
@@ -160,6 +161,7 @@ class CRR(BaseOffline):
             return jnp.mean(exp_adv * bc_loss)
 
         a_loss, a_grads = jax.value_and_grad(pi_loss)(state.actor)
+        a_grads = self._pmean(a_grads)
         updates, actor_opt = self._actor_tx.update(a_grads, state.actor_opt, state.actor)
         actor = optax.apply_updates(state.actor, updates)
 

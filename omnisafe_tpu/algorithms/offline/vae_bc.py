@@ -63,6 +63,7 @@ class VAEBC(BaseOffline):
             return recon + kl, (recon, kl)
 
         (loss, (recon, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.vae)
+        grads = self._pmean(grads)
         updates, opt = self._tx.update(grads, state.opt, state.vae)
         params = optax.apply_updates(state.vae, updates)
         metrics = {'Loss/Loss_vae': loss, 'Loss/Loss_recon': recon, 'Loss/Loss_kl': kl}

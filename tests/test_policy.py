@@ -398,3 +398,41 @@ def test_offpolicy_multi_device_sharded_ring():
             np.testing.assert_array_equal(shards[0], shard)
     # lambda moved (warmup passed, Jc 30 > limit 25) and is replicated
     assert float(state.extra.multiplier) > 0.0
+
+
+def test_offline_dp_epoch_keeps_params_replicated(tmp_path):
+    """Offline dp epoch (parallel/offline.py): per-device batch streams with
+    pmean'd gradients must keep parameters in lockstep across the mesh (the
+    reference's offline trainers have no distributed path at all —
+    offline/base.py:95-150)."""
+    import jax
+    import numpy as np_
+
+    from omnisafe_tpu.parallel.offline import make_distributed_epoch, make_mesh
+
+    env = omnisafe_tpu.envs.make('Test-v0')
+    obs_dim = env.observation_space.shape[0]
+    act_dim = env.action_space.shape[0]
+    rng = np_.random.default_rng(0)
+    n = 128
+    dataset = str(tmp_path / 'ds.npz')
+    np_.savez(dataset,
+              obs=rng.normal(size=(n, obs_dim)).astype(np_.float32),
+              action=rng.uniform(-1, 1, size=(n, act_dim)).astype(np_.float32),
+              reward=rng.normal(size=(n,)).astype(np_.float32),
+              cost=(rng.uniform(size=(n,)) < 0.2).astype(np_.float32),
+              next_obs=rng.normal(size=(n, obs_dim)).astype(np_.float32),
+              done=np_.zeros((n,), np_.float32))
+    algo = omnisafe_tpu.Agent('VAEBC', 'Test-v0', custom_cfgs={
+        'train_cfgs': {'total_steps': 4, 'dataset': dataset},
+        'algo_cfgs': {'steps_per_epoch': 2, 'batch_size': 8},
+        'logger_cfgs': {'use_tensorboard': False, 'log_dir': '/tmp/osafe_test_runs'},
+    }).agent
+    state = algo._init_state()
+    epoch = make_distributed_epoch(algo, make_mesh(4), steps_per_epoch=2)
+    state, metrics = epoch(state, jax.random.key(0))
+    assert np_.isfinite(float(metrics['Loss/Loss_vae']))
+    for leaf in jax.tree.leaves(state.vae):
+        shards = [np_.asarray(s.data) for s in leaf.addressable_shards]
+        for shard in shards[1:]:
+            np_.testing.assert_array_equal(shards[0], shard)
