@@ -194,10 +194,13 @@ def main() -> int:  # pylint: disable=too-many-branches,too-many-statements,too-
                           # is per-env slots x num_envs
                           'size': 1_000_000 // args.vector_env_nums},
             # reference λ ascends once PER TRANSITION at lambda_lr=1e-5
-            # (update_cycle: 1, configs/off-policy/SACLag.yaml:38,128); ours
-            # ascends once per cycle, so the Adam rate scales by the cycle's
-            # transition count (8e-4 at 16 envs, 5e-4 at 1)
-            'lagrange_cfgs': {'lambda_lr': 1.0e-5 * cycle * args.vector_env_nums},
+            # (update_cycle: 1, configs/off-policy/SACLag.yaml:38,128); the
+            # trainer now steps λ once per update ITERATION (= once per
+            # transition at UTD 1), so the reference rate applies verbatim —
+            # rescaling lr by the cycle size (as earlier rounds did) kept the
+            # integrated rate but slowed Adam's β₁/β₂ damping horizons ~50x
+            # in env-step time, which is the settle-vs-oscillate difference
+            'lagrange_cfgs': {'lambda_lr': 1.0e-5},
             # the reference's λ reads a 10-episode window collected by ONE
             # env = ~10k steps of policy history; with N parallel envs the
             # same smoothing span needs 10*N episodes (window 10 at 16 envs

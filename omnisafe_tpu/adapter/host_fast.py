@@ -131,7 +131,13 @@ class _NpStats:
 
     def normalize(self, x: np.ndarray, eps: float = 1e-8,
                   clip: float = 5.0) -> np.ndarray:
-        out = (x - self.mean) / (np.sqrt(self.var) + np.float32(eps))
+        del eps
+        # Bessel-corrected std floored at 1e-2, mirroring RunningStats.norm_std
+        # (reference: omnisafe/common/normalizer.py:136-139)
+        bessel = self.var * self.count / np.maximum(self.count - np.float32(1.0),
+                                                    np.float32(1e-4))
+        std = np.maximum(np.sqrt(bessel), np.float32(1e-2))
+        out = (x - self.mean) / std
         return np.clip(out, -clip, clip)
 
 

@@ -286,7 +286,7 @@ class DDPG(BaseAlgo):
                 'Loss/Loss_cost_critic', 'Value/cost_critic']
         return {k: jnp.zeros(()) for k in keys}
 
-    def _make_update(self, buf_state, lr: Array):
+    def _make_update(self, buf_state, lr: Array, Jc: Array, do_lambda: Array):
         algo = self._cfgs.algo_cfgs
         ac = self._actor_critic
         use_cost = bool(algo.use_cost)
@@ -343,6 +343,14 @@ class DDPG(BaseAlgo):
             params, a_opt, alpha_state, pi_loss = jax.lax.cond(
                 do_actor, actor_update, actor_skip, (params, a_opt, alpha_state)
             )
+            # λ (or PID) multiplier step once per update iteration, AFTER the
+            # critic/actor updates — the reference ascends λ once per
+            # ``_update()`` call, i.e. once per transition at UTD 1
+            # (reference: ddpg_lag.py:57-66 after super()._update(); with
+            # update_cycle batching this keeps the per-transition Adam
+            # cadence — and its β₁/β₂ timescales — exactly the reference's,
+            # instead of one big rescaled step per cycle).
+            extra, _ = self._update_extra(extra, Jc, do_lambda)
             metrics = {
                 'Loss/Loss_pi': pi_loss,
                 'Loss/Loss_reward_critic': r_loss,
@@ -360,12 +368,11 @@ class DDPG(BaseAlgo):
         steps on replay samples) — shared by the fully-jitted device epoch
         and the host-driven epoch."""
         update_iters = int(self._cfgs.algo_cfgs.update_iters)
-        extra, _extra_metrics = self._update_extra(st.extra, Jc, do_lambda)
         keys = jax.random.split(upd_key, update_iters)
         init = (st.params, st.actor_opt, st.reward_critic_opt, st.cost_critic_opt,
-                st.alpha, extra, st.update_count)
+                st.alpha, st.extra, st.update_count)
         (params, a_opt, r_opt, c_opt, alpha_state, extra, update_count), m = (
-            jax.lax.scan(self._make_update(st.buffer, lr), init, keys)
+            jax.lax.scan(self._make_update(st.buffer, lr, Jc, do_lambda), init, keys)
         )
         new_st = st.replace(
             params=params, actor_opt=a_opt, reward_critic_opt=r_opt,

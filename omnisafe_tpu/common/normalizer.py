@@ -73,15 +73,27 @@ class RunningStats:
     def std(self) -> Array:
         return jnp.sqrt(self.var)
 
+    @property
+    def norm_std(self) -> Array:
+        """Std as the reference normalizer computes it for normalization:
+        Bessel-corrected and FLOORED at 1e-2 (reference:
+        omnisafe/common/normalizer.py:136-139 ``var = sumsq/(count-1)``;
+        ``std = max(std, 1e-2)``).  The floor is what keeps sparse-cost
+        normalization bounded when the violation rate is tiny."""
+        bessel = self.var * self.count / jnp.maximum(self.count - 1.0, 1e-4)
+        return jnp.maximum(jnp.sqrt(bessel), 1e-2)
+
     def normalize(self, x: Array, eps: float = 1e-8, clip: float | None = None) -> Array:
         """Standardize; clamp to ``[-clip, clip]`` when given (the reference
         normalizer clamps obs/reward/cost at +-5, reference:
         omnisafe/envs/wrapper.py:202,302,375 + common/normalizer.py:88-107)."""
-        out = (x - self.mean) / (self.std + eps)
+        del eps
+        out = (x - self.mean) / self.norm_std
         return out if clip is None else jnp.clip(out, -clip, clip)
 
     def unnormalize(self, x: Array, eps: float = 1e-8) -> Array:
-        return x * (self.std + eps) + self.mean
+        del eps
+        return x * self.norm_std + self.mean
 
 
 __all__ = ['RunningStats']
