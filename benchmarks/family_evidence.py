@@ -228,26 +228,37 @@ def run_modelbased_physics(args) -> None:
     constrained planners drive cost far below unconstrained PETS at
     comparable reward; the repo's own on-policy parity cells are the
     reward yardstick."""
-    out_path = os.path.join(EVIDENCE, f'mbphysics-{args.algo}.json')
+    suffix = f'-{args.tag}' if args.tag else ''
+    out_path = os.path.join(EVIDENCE, f'mbphysics-{args.algo}{suffix}.json')
     if os.path.exists(out_path):
         print(f'[evidence] {out_path} exists, skipping')
         return
     import jax
 
-    jax.config.update('jax_platforms', 'cpu')
+    if not args.tpu:
+        jax.config.update('jax_platforms', 'cpu')
     import omnisafe_tpu
 
     env_id = 'SafetyHalfCheetahVelocity-v1-mujoco'
-    log_dir = os.path.join(WORK, f'mbphys-{args.algo}')
-    cfgs = {
-        'seed': 0,
-        'train_cfgs': {'total_steps': args.steps},
+    log_dir = os.path.join(WORK, f'mbphys-{args.algo}{suffix}')
+    if args.planner == 'reference':
+        # the reference YAML planner verbatim (configs/model-based/PETS.yaml:
+        # 512 samples, 5 iterations, 20 particles, horizon 7) with chunked
+        # execution amortizing the receding horizon on the TPU
+        planner_cfgs = {'plan_chunk': 5, 'plan_horizon': 10,
+                        'num_iterations': 5, 'num_samples': 512,
+                        'num_particles': 20, 'num_elites': 64}
+    else:
         # planner sized for 2 CPU cores: LOOP-scale candidate pool; chunk 5
         # of a 10-step horizon => one planning call per 25 env steps
         # (action_repeat 5)
-        'planner_cfgs': {'plan_chunk': 5, 'plan_horizon': 10,
-                         'num_iterations': 3, 'num_samples': 100,
-                         'num_particles': 5, 'num_elites': 10},
+        planner_cfgs = {'plan_chunk': 5, 'plan_horizon': 10,
+                        'num_iterations': 3, 'num_samples': 100,
+                        'num_particles': 5, 'num_elites': 10}
+    cfgs = {
+        'seed': 0,
+        'train_cfgs': {'total_steps': args.steps},
+        'planner_cfgs': planner_cfgs,
         'dynamics_cfgs': {'num_ensemble': 5, 'elite_size': 5},
         'evaluation_cfgs': {'use_eval': False},
         'logger_cfgs': {'use_tensorboard': False, 'log_dir': log_dir,
@@ -261,7 +272,8 @@ def run_modelbased_physics(args) -> None:
     os.makedirs(EVIDENCE, exist_ok=True)
     with open(out_path, 'w', encoding='utf-8') as handle:
         json.dump({'algo': args.algo, 'env': env_id, 'steps': args.steps,
-                   'plan_chunk': 5, 'final_window_ret': r_tail,
+                   'plan_chunk': 5, 'planner': args.planner, 'tpu': args.tpu,
+                   'final_window_ret': r_tail,
                    'final_window_cost': c_tail, 'last_ret': ret,
                    'last_cost': cost, 'curve': curve}, handle, indent=2)
     print(f'[evidence] {args.algo} physics: ret={r_tail:.2f} cost={c_tail:.2f}',
@@ -363,6 +375,14 @@ def main() -> int:
     mbp = sub.add_parser('modelbased-physics')
     mbp.add_argument('--algo', default='CCEPETS')
     mbp.add_argument('--steps', type=int, default=60_000)
+    mbp.add_argument('--planner', choices=['small', 'reference'], default='small',
+                     help='small = 2-core CPU sizing; reference = the reference '
+                          'YAML planner (512 samples, 5 iters, 20 particles)')
+    mbp.add_argument('--tpu', action='store_true',
+                     help='leave the accelerator visible (TPU-resident planner '
+                          '+ dynamics training) instead of forcing CPU')
+    mbp.add_argument('--tag', default='',
+                     help='suffix for the evidence/work dir names')
     goal = sub.add_parser('goal')
     goal.add_argument('--algo', default='PPOLag')
     goal.add_argument('--steps', type=int, default=10_000_000)
