@@ -94,3 +94,31 @@ def test_pid_lagrangian_d_delay_one():
         state = pid.update(state, jnp.asarray(cost))
         expected = ref.update(cost)
         np.testing.assert_allclose(float(state.multiplier), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_lagrange_adam_matches_torch_reference():
+    """λ ascent must match the reference's torch Adam step-for-step —
+    including bias correction, eps placement, and the post-step clamp that
+    leaves Adam moments intact (reference: omnisafe/common/lagrange.py:99-136).
+    The off-policy trainers now take one such step per update iteration, so
+    per-step equivalence is the whole cadence-parity story."""
+    import torch
+
+    lr = 1e-5
+    lag = Lagrange(cost_limit=25.0, lagrangian_multiplier_init=0.001,
+                   lambda_lr=lr, lambda_optimizer='Adam')
+    state = lag.init()
+
+    param = torch.nn.Parameter(torch.as_tensor(0.001))
+    opt = torch.optim.Adam([param], lr=lr)
+    rng = np.random.default_rng(3)
+    jcs = rng.uniform(0.0, 975.0, size=200)
+    for jc in jcs:
+        state = lag.update(state, jnp.asarray(jc, jnp.float32))
+        opt.zero_grad()
+        loss = -param * (float(jc) - 25.0)
+        loss.backward()
+        opt.step()
+        param.data.clamp_(0.0)
+        np.testing.assert_allclose(float(state.multiplier), float(param.data),
+                                   rtol=1e-5, atol=1e-7)
